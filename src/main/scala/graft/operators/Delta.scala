@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental/delta + reconciliation layer (SURVEY.md §2b P9, §2g U2, §5).
+  */
+object Delta {
+
+  /** P9/J7: "only new keys" delta — the reference writes
+    * `leadid not in (select coalesce(leadid,'') from tgt)` (`PUSH:214`),
+    * pre-coalescing to dodge NOT IN's three-valued null semantics. The
+    * faithful-and-scalable form is a left anti join on the coalesced key:
+    * shuffles both sides on the key once (or broadcasts a small target
+    * key set), no correlated subquery. */
+  def newKeysOnly(src: DataFrame, tgt: DataFrame, srcKey: String,
+      tgtKey: String, nullSentinel: Column = lit("")): DataFrame = {
+    val tgtKeys = tgt.select(coalesce(col(tgtKey), nullSentinel).as("__k")).distinct()
+    src.join(tgtKeys, coalesce(src(srcKey), nullSentinel) === col("__k"), "left_anti")
+  }
+
+  /** U2 + §5: the reference's reconciliation block (`PUSH:369-457`) as a
+    * utility — count equality, column-set equality, and full-data
+    * symmetric MINUS both directions. */
+  final case class ReconcileReport(
+      srcCount: Long, tgtCount: Long,
+      missingCols: Seq[String], extraCols: Seq[String],
+      srcMinusTgt: Long, tgtMinusSrc: Long) {
+    def ok: Boolean =
+      srcCount == tgtCount && missingCols.isEmpty && extraCols.isEmpty &&
+        srcMinusTgt == 0L && tgtMinusSrc == 0L
+  }
+
+  def reconcile(src: DataFrame, tgt: DataFrame): ReconcileReport = {
+    val common = src.columns.intersect(tgt.columns).toSeq
+    val s = src.select(common.map(col): _*)
+    val t = tgt.select(common.map(col): _*)
+    ReconcileReport(
+      srcCount = src.count(), tgtCount = tgt.count(),
+      missingCols = src.columns.diff(tgt.columns).toSeq,
+      extraCols = tgt.columns.diff(src.columns).toSeq,
+      srcMinusTgt = s.except(t).count(),
+      tgtMinusSrc = t.except(s).count())
+  }
+
+  /** U2 as a DataFrame (for oracle-checked fixtures): one row per
+    * direction with the MINUS cardinality (`PUSH:422-440`). */
+  def symmetricMinusCounts(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val a = src.except(tgt).count()
+    val b = tgt.except(src).count()
+    Seq(("src_minus_tgt", a), ("tgt_minus_src", b))
+      .toDF("direction", "n").orderBy("direction")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** J3 — the disjunctive/theta left join (SURVEY.md §2c).
+  *
+  * The reference joins dealermaster with an OR in the ON clause:
+  * `on dm.k = f.a or dm.k = f.b and dm.j = f.c` (`FULL:747-751` ×8) —
+  * note SQL precedence: `a OR (b AND c)`. Spark plans this as a
+  * BroadcastNestedLoopJoin (hence the reference enabling
+  * `spark.sql.crossJoin.enabled`, `FULL:39`), which is O(|L|·|R|) work —
+  * fine for a broadcastable dim, catastrophic if both sides are big.
+  *
+  * `orEquiJoinRewrite` is the scale path: each disjunct is an equi-join
+  * (shuffle-hash/broadcast-hash, pushdown-friendly); branch matches are
+  * unioned and deduplicated on (left key, right key) so a row matched by
+  * several disjuncts appears once, exactly like the OR-join; unmatched
+  * left rows are restored with a final anti-join — semantics identical to
+  * the nested-loop LEFT OR-join, cost linear in data size.
+  */
+object DisjunctiveJoin {
+
+  /** Verbatim form: left join with an arbitrary boolean ON. Catalyst
+    * plans BNLJ when no equi-conjunct exists. Keep the right side
+    * broadcastable. */
+  def orJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(broadcast(right), cond, "left")
+
+  /** Scale rewrite: LEFT JOIN ON (d1 OR d2 OR ...) where each disjunct
+    * `di(l, r)` is an equi-join-able condition.
+    *
+    * @param leftKey  unique key of the left side (needed to restore
+    *                 unmatched rows and dedup multi-disjunct matches)
+    * @param rightKey unique key of the right side
+    */
+  def orEquiJoinRewrite(left: DataFrame, right: DataFrame,
+      disjuncts: Seq[(DataFrame, DataFrame) => Column],
+      leftKey: String, rightKey: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val outCols = leftCols ++ rightCols
+    // Matched pairs per disjunct (projected to plain names before the
+    // union so alias qualifiers don't leak), then set-union — dedup on
+    // the key pair: a pair matched by two disjuncts appears once, as OR.
+    val matched = disjuncts.map { d =>
+      val l = left.alias("l")
+      val r = right.alias("r")
+      l.join(r, d(l, r), "inner").select(
+        leftCols.map(c => col(s"l.$c")) ++ rightCols.map(c => col(s"r.$c")): _*)
+    }.reduce(_ unionByName _)
+    val dedup = TopK.top1PerKey(matched,
+      Seq(col(leftKey), col(rightKey)), Seq(col(leftKey)))
+    // Left rows with no match under ANY disjunct, padded with nulls.
+    val matchedKeys = dedup.select(col(leftKey).as("__mk")).distinct()
+    val unmatched = left.join(matchedKeys, col(leftKey) === col("__mk"), "left_anti")
+    val padded = rightCols.foldLeft(unmatched) { (d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    dedup.select(outCols.map(col): _*)
+      .unionByName(padded.select(outCols.map(col): _*))
+  }
+}

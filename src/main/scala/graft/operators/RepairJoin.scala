@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The cascading null-repair join ladder — the reference's most
+  * distinctive semantic (SURVEY.md §7 step 5; `FULL:738-1057`).
+  *
+  * Pattern: LEFT-join a fact to a dimension on a tight key; rows that
+  * matched keep their dim attributes; rows that didn't are retried against
+  * the same dim on a progressively looser key (5 rounds for Sales, 3 for
+  * TV in the reference); survivors get literal defaults
+  * (`mulcode='9967', forcode='95'`, `FULL:905-906,1025-1026`). Every
+  * round's fan-out is deduplicated top-1-per-fact-key ordered by a
+  * dim recency column (`sallivedate desc`, W2). Branches reunite by
+  * unionAll (U1) — the reference relies on identical column order; we use
+  * unionByName to be drift-proof.
+  *
+  * Scale posture: the dim is broadcast (dealer-master-sized dims are
+  * KB–MB); each round's join is then shuffle-free, and the unmatched set
+  * shrinks monotonically, so the ladder costs ~one broadcast-hash-join
+  * pass over the fact per round with no fact re-shuffle.
+  */
+object RepairJoin {
+
+  /** One rung of the ladder: a join condition over (fact-alias "b",
+    * dim-alias "d"). */
+  type Cond = (DataFrame, DataFrame) => Column
+
+  /**
+    * @param base       fact side; must contain `baseKey` (unique row key)
+    * @param dim        dimension to attach (small; broadcast)
+    * @param dimCols    dim columns to carry onto the fact
+    * @param rounds     join conditions, tightest first
+    * @param dedupOrder per-round top-1 ordering over the joined frame
+    *                   (reference: dim recency desc); a unique tiebreak is
+    *                   appended on `baseKey` + first dim col for
+    *                   determinism
+    * @param defaults   dimCol → literal default for never-matched rows
+    */
+  def apply(base: DataFrame, baseKey: String, dim: DataFrame,
+      dimCols: Seq[String], rounds: Seq[Cond], dedupOrder: Seq[Column],
+      defaults: Map[String, Column]): DataFrame = {
+    val baseCols = base.columns.toSeq
+    val outCols = baseCols ++ dimCols
+    val matchProbe = dimCols.head
+
+    var current = base
+    var branches = List.empty[DataFrame]
+    rounds.foreach { cond =>
+      val b = current.alias("b")
+      val d = dim.alias("d")
+      val joined = b.join(broadcast(d), cond(b, d), "left")
+      val selected = joined.select(
+        baseCols.map(c => col(s"b.$c")) ++ dimCols.map(c => col(s"d.$c")): _*)
+      val deduped = TopK.top1PerKey(selected, Seq(col(baseKey)),
+        dedupOrder :+ col(baseKey))
+      branches ::= deduped.filter(col(matchProbe).isNotNull)
+      current = deduped.filter(col(matchProbe).isNull).select(baseCols.map(col): _*)
+    }
+    val defaulted = dimCols.foldLeft(current) { (df, c) =>
+      df.withColumn(c, defaults.getOrElse(c, lit(null)))
+    }.select(outCols.map(col): _*)
+    (defaulted :: branches).map(_.select(outCols.map(col): _*))
+      .reduce(_ unionByName _)
+  }
+}
