@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Model: media (image/audio/video) travels as an opaque `binary` column
+  * plus a typed metadata struct; decode / feature-extraction runs
+  * batch-wise over partitions (the Scala analogue of a Pandas-UDF
+  * `mapInPandas` stage). The container has no image/audio codecs, so the
+  * DECODE STEP IS A DETERMINISTIC STUB (`fakeDecode`) — the Spark-side
+  * plumbing (schema, binary handling, partition-wise batching, output
+  * shape) is real and is what these fixtures test. Swap `fakeDecode`
+  * for a JNI/codec call in production.
+  */
+object Multimodal {
+
+  /** Wrap documents as fake media rows: the text bytes play the role of
+    * an encoded image payload. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source").as("origin"),
+        lit("fake/utf8").as("format")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-features from the payload bytes —
+    * stands in for image decode + resize + embed. Runs per-partition
+    * over the raw bytes, exactly where a real codec would. */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Double) = {
+    val n = payload.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += payload(i) & 0xff; i += 1 }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    (n % 640, (n * 7) % 480, mean) // fake width / height / mean "pixel"
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_byte", DoubleType)))
+
+  /** Partition-wise feature extraction over the binary payload. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featSchema)
+    media.select(col("media_id"), col("payload"), col("meta.n_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h, m) = fakeDecode(payload)
+          Row(id, r.getLong(2), w, h, m)
+        }
+      }(enc)
+  }
+}

@@ -1,6 +1,67 @@
 package graft.queries
 
-/** Flagship end-to-end pipeline fixtures (filled in next). */
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+
+/** Multimodal plumbing + streaming fixtures, and the flagship pipeline
+  * exposed as a rows-checked query.
+  */
 object PipelineQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Binary-column plumbing, oracle-checkable part: payload byte length
+    * and metadata struct fields (DuckDB mirrors via encode()). */
+  private val mmPlumbing = Q("q_mm_binary_plumbing",
+    (s, dir) => {
+      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"))
+      media.select(
+        col("media_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.origin").as("origin"),
+        col("meta.format").as("format"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        source AS origin,
+        'fake/utf8' AS format
+      FROM documents"""))
+
+  /** Partition-wise stub decode (mapPartitions over raw bytes). The mean
+    * byte of ASCII text is still SQL-expressible, so even the stub's
+    * output is oracle-checked: mean_byte = sum(codepoints)/len. */
+  private val mmDecode = Q("q_mm_decode_features",
+    (s, dir) => Multimodal.extractFeatures(
+      Multimodal.asMedia(Tables.load(s, dir, "documents"))),
+    Some("""
+      WITH b AS (SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          list_transform(string_split(text, ''), x -> ord(x)) AS cps
+        FROM documents)
+      SELECT media_id, n_bytes,
+        CAST(n_bytes % 640 AS INTEGER) AS width,
+        CAST((n_bytes * 7) % 480 AS INTEGER) AS height,
+        CAST(list_sum(cps) AS DOUBLE) / n_bytes AS mean_byte
+      FROM b"""))
+
+  /** Structured Streaming end-to-end (file source → watermark → windowed
+    * agg → memory sink, Trigger.AvailableNow) — same oracle as the batch
+    * hourly query, proving stream/batch parity. */
+  private val streamHourly = Q("q_stream_events_hourly",
+    (s, dir) => EventsStream.hourlyAggregates(s, dir),
+    Some("""
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** Flagship pipeline over the query-arg scale factor (rows-only: output
+    * is deeply nested). */
+  private val flagship = Q("q_flagship_pipeline",
+    (s, dir) => graft.Flagship.prospectPipeline(s, dir),
+    None)
+
+  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, streamHourly, flagship)
 }

@@ -1,6 +1,67 @@
 package graft.queries
 
-/** Embedding similarity / ANN queries over `embeddings` (filled in next). */
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.similarity.Knn
+
+/** Embedding similarity fixtures over `embeddings` (vec_id,
+  * embedding float[64], label): brute-force cosine top-k (exact
+  * baseline), sign-LSH bucketed ANN (scale path), and bucketed
+  * similar-pair mining. Scores are rounded to 6 dp in both engines;
+  * ranks tie-break on candidate id.
+  */
 object SimilarityQueries {
-  val all: Seq[Q] = Seq()
+
+  private def bucketSql(nBits: Int): String =
+    (0 until nBits).map(i =>
+      s"(CASE WHEN e[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  private val prepCte = """
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings)"""
+
+  private val brute = Q("q_knn_brute_force",
+    (s, dir) => Knn.bruteForceTopK(
+      Tables.load(s, dir, "embeddings"), col("vec_id") < 5, k = 10),
+    Some(prepCte + """,
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM p WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM p)
+      SELECT qid, cid, rank, round(cos, 6) AS cos_r FROM (
+        SELECT qid, cid,
+          list_inner_product(qe, ce) / (qn * cn) AS cos,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY list_inner_product(qe, ce) / (qn * cn) DESC, cid) AS rank
+        FROM c, q WHERE qid <> cid)
+      WHERE rank <= 10"""))
+
+  private val lsh = Q("q_knn_lsh_bucketed",
+    (s, dir) => Knn.lshTopK(
+      Tables.load(s, dir, "embeddings"), col("vec_id") < 20, k = 5, nBits = 8),
+    Some(prepCte + s""",
+      pb AS (SELECT vec_id, e, nrm, ${bucketSql(8)} AS bucket FROM p),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket FROM pb
+            WHERE vec_id < 20),
+      c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn, bucket FROM pb)
+      SELECT qid, cid, rank, round(cos, 6) AS cos_r FROM (
+        SELECT qid, cid,
+          list_inner_product(qe, ce) / (qn * cn) AS cos,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY list_inner_product(qe, ce) / (qn * cn) DESC, cid) AS rank
+        FROM c JOIN q USING (bucket) WHERE qid <> cid)
+      WHERE rank <= 5"""))
+
+  private val pairs = Q("q_emb_similar_pairs",
+    (s, dir) => Knn.similarPairs(
+      Tables.load(s, dir, "embeddings"), nBits = 8, threshold = 0.30),
+    Some(prepCte + s""",
+      pb AS (SELECT vec_id, e, nrm, ${bucketSql(8)} AS bucket FROM p)
+      SELECT va, vb, round(cos, 6) AS cos_r FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+        FROM pb a JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.30"""))
+
+  val all: Seq[Q] = Seq(brute, lsh, pairs)
 }

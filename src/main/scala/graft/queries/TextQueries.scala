@@ -1,6 +1,212 @@
 package graft.queries
 
-/** Text-analysis + dedup queries over `documents` (filled in next). */
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.{Dedup, TextAnalysis}
+
+/** Text-analysis + dedup fixtures over `documents`. The MinHash/SimHash
+  * oracles are generated from the same constants as the Scala
+  * implementation (`Dedup.AS/BS/P`) so engine and oracle cannot drift.
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Shared DuckDB CTE: distinct word 3-shingles (1-based list indexing
+    * mirrors the Spark 0-based `transform(sequence(0, size-3), …)`). */
+  private val shCte = raw"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, unnest(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1)
+                                    ELSE [] END) AS r(i))"""
+
+  private val xmSql =
+    "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647"
+
+  // ---------------------------------------------------------------- tokens
+  private val tokenCount = Q("q_text_token_count",
+    (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.tokens).cast("long").as("ws_tokens"),
+        size(TextAnalysis.alnumTokens).cast("long").as("alnum_tokens"),
+        col("n_chars")),
+    Some(raw"""
+      SELECT doc_id,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                             x -> x <> '')) AS BIGINT) AS alnum_tokens,
+        n_chars
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- lang id
+  private def hitsSql(stops: Seq[String]): String =
+    s"CAST(len(list_filter(t, x -> list_contains([${stops.map("'" + _ + "'").mkString(",")}], x))) AS BIGINT)"
+
+  private val langId = Q("q_text_lang_id",
+    (s, dir) => {
+      val t = TextAnalysis.tokens
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.stopHits(t, TextAnalysis.enStops).cast("long").as("en_hits"),
+        TextAnalysis.stopHits(t, TextAnalysis.esStops).cast("long").as("es_hits"),
+        TextAnalysis.stopHits(t, TextAnalysis.deStops).cast("long").as("de_hits"),
+        TextAnalysis.stopHits(t, TextAnalysis.frStops).cast("long").as("fr_hits"),
+        TextAnalysis.langIdExpr(t).as("lang_pred"))
+    },
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      h AS (SELECT doc_id,
+              ${hitsSql(TextAnalysis.enStops)} AS en_hits,
+              ${hitsSql(TextAnalysis.esStops)} AS es_hits,
+              ${hitsSql(TextAnalysis.deStops)} AS de_hits,
+              ${hitsSql(TextAnalysis.frStops)} AS fr_hits
+            FROM toks)
+      SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+        CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+             WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+             WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+             WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+             WHEN fr_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'fr'
+             ELSE 'und' END AS lang_pred
+      FROM h"""))
+
+  // ---------------------------------------------------------------- quality
+  private val quality = Q("q_text_quality",
+    (s, dir) => {
+      val t = TextAnalysis.tokens
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        size(t).cast("long").as("token_count"),
+        size(array_distinct(t)).cast("long").as("distinct_tokens"),
+        TextAnalysis.punctCount.cast("long").as("punct_chars"),
+        TextAnalysis.stopHits(t, TextAnalysis.enStops).cast("long").as("stop_hits"))
+        .withColumn("chars_per_token", col("n_chars") / col("token_count"))
+        .withColumn("distinct_ratio", col("distinct_tokens") / col("token_count"))
+        .withColumn("stop_ratio", col("stop_hits") / col("token_count"))
+        .withColumn("quality_score",
+          lit(0.6) * col("distinct_ratio") +
+            lit(0.4) * (lit(1.0) - col("stop_ratio")))
+    },
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, n_chars,
+                      string_split_regex(lower(trim(text)), '\s+') AS t,
+                      CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars
+                    FROM documents),
+      m AS (SELECT doc_id, n_chars,
+              CAST(len(t) AS BIGINT) AS token_count,
+              CAST(len(list_distinct(t)) AS BIGINT) AS distinct_tokens,
+              punct_chars,
+              ${hitsSql(TextAnalysis.enStops)} AS stop_hits
+            FROM toks)
+      SELECT doc_id, n_chars, token_count, distinct_tokens, punct_chars, stop_hits,
+        n_chars / token_count AS chars_per_token,
+        distinct_tokens / token_count AS distinct_ratio,
+        stop_hits / token_count AS stop_ratio,
+        0.6 * (distinct_tokens / token_count) +
+          0.4 * (1.0 - stop_hits / token_count) AS quality_score
+      FROM m"""))
+
+  // ---------------------------------------------------------------- dedup: exact
+  private val exact = Q("q_dedup_exact",
+    (s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents")),
+    Some(raw"""
+      WITH fp AS (SELECT doc_id,
+          md5(list_aggr(list_sort(list_distinct(
+            string_split_regex(lower(trim(text)), '\s+'))), 'string_agg', ' ')) AS fp
+        FROM documents)
+      SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+      FROM fp GROUP BY fp"""))
+
+  // ---------------------------------------------------------------- dedup: jaccard
+  private val jaccard = Q("q_dedup_ngram_jaccard",
+    (s, dir) => Dedup.jaccardPairs(
+      Dedup.shingles(Tables.load(s, dir, "documents")), dfCap = 10, threshold = 0.5),
+    Some(shCte + raw""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+               WHERE a.doc_id < b.doc_id),
+      common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+                 FROM sh a JOIN sh b USING (s)
+                 JOIN cand ON a.doc_id = cand.da AND b.doc_id = cand.db
+                 GROUP BY 1, 2)
+      SELECT da, db, n_common,
+        CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""))
+
+  // ---------------------------------------------------------------- dedup: minhash
+  private val sigColsSql = Dedup.AS.indices.map(i =>
+    s"min((${Dedup.AS(i)} * xm + ${Dedup.BS(i)}) % ${Dedup.P}) AS s$i").mkString(",\n        ")
+
+  private val minhashSigCte = shCte + raw""",
+      hx AS (SELECT doc_id, $xmSql AS xm FROM sh),
+      sig AS (SELECT doc_id,
+        $sigColsSql
+      FROM hx GROUP BY doc_id)"""
+
+  private val minhash = Q("q_dedup_minhash_sigs",
+    (s, dir) => Dedup.minhashSignatures(
+      Dedup.shingles(Tables.load(s, dir, "documents"))),
+    Some(minhashSigCte + "\n      SELECT * FROM sig"))
+
+  private val bandValSql = (0 until Dedup.K / 2).map(b =>
+    s"WHEN $b THEN CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR)")
+    .mkString("CASE b ", " ", " END")
+
+  private val lsh = Q("q_dedup_minhash_lsh",
+    (s, dir) => Dedup.lshCandidates(Dedup.minhashSignatures(
+      Dedup.shingles(Tables.load(s, dir, "documents")))),
+    Some(minhashSigCte + raw""",
+      bands AS (SELECT doc_id, b AS band_idx, $bandValSql AS band_val
+                FROM sig, unnest(range(0, ${Dedup.K / 2})) AS u(b))
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- dedup: simhash
+  private val tokCte = raw"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      tk AS (SELECT DISTINCT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+      h AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM tk)"""
+
+  private val voteColsSql = (0 until 32).map(j =>
+    s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n        ")
+  private val bitSumSql = (0 until 32).map(j =>
+    s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")
+
+  private val simhashCte = tokCte + raw""",
+      v AS (SELECT doc_id,
+        $voteColsSql
+      FROM h GROUP BY doc_id),
+      sim AS (SELECT doc_id, $bitSumSql AS simhash FROM v)"""
+
+  private val simhash = Q("q_dedup_simhash",
+    (s, dir) => Dedup.simhash(Tables.load(s, dir, "documents")),
+    Some(simhashCte + "\n      SELECT * FROM sim"))
+
+  private val simhashPairs = Q("q_dedup_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(
+      Dedup.simhash(Tables.load(s, dir, "documents")), maxHamming = 6),
+    Some(simhashCte + raw""",
+      sp AS (SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (b * 8)) % 256 AS band_val
+             FROM sim, unnest(range(0, 4)) AS u(b))
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sp a JOIN sp b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""))
+
+  val all: Seq[Q] = Seq(tokenCount, langId, quality, exact, jaccard,
+    minhash, lsh, simhash, simhashPairs)
 }

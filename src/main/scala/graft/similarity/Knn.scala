@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) for training-data pipelines.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k by broadcasting the query set
+  *    over the corpus — the correctness baseline. O(|Q|·|C|), fine when
+  *    |Q| is small; the corpus side stays partitioned and is scanned
+  *    once, so this scales to any corpus size for a bounded query set.
+  *  - `lshTopK` / `similarPairs`: sign-random-projection buckets (the bit
+  *    pattern of the first `nBits` components — deterministic, so the SQL
+  *    oracle reproduces it). Bucketing turns the all-pairs problem into a
+  *    per-bucket join: at 100 TB the corpus is hash-partitioned by bucket
+  *    and each bucket joins locally; recall is traded via nBits.
+  *
+  * Dot products are computed in double with sequential fold order
+  * (`aggregate(zip_with(...))`) — the same order DuckDB's
+  * `list_inner_product` uses, keeping scores comparable to the oracle.
+  */
+object Knn {
+
+  /** Embedding prep: cast float[] → double[] once, precompute the norm. */
+  def prepared(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")))
+
+  private val dotQC: Column = expr(
+    "aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Exact cosine top-k for a (small, broadcast) query subset. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val p = prepared(emb)
+    val q = p.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = p.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", dotQC / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** Sign-projection bucket id: bit i set iff component i > 0. */
+  def signBucket(e: Column, nBits: Int): Column =
+    (0 until nBits).map(i =>
+      when(element_at(e, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates limited to the query's bucket. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int, nBits: Int): DataFrame = {
+    val p = prepared(emb).withColumn("bucket", signBucket(col("e"), nBits))
+    val q = p.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = p.select(col("vec_id").as("cid"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dotQC / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** Embedding-cosine near-dup pairs within buckets (the scale path: the
+    * bucket equi-join shards the quadratic work). */
+  def similarPairs(emb: DataFrame, nBits: Int, threshold: Double): DataFrame = {
+    val p = prepared(emb).withColumn("bucket", signBucket(col("e"), nBits))
+    val a = p.select(col("vec_id").as("va"), col("e").as("qe"),
+      col("nrm").as("qn"), col("bucket"))
+    val b = p.select(col("vec_id").as("vb"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", dotQC / (col("qn") * col("cn")))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_r"))
+  }
+}

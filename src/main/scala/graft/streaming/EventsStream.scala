@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2i): its incremental semantics
+  * are snapshot predicates + anti-join deltas + idempotent partition
+  * overwrite. This module supplies the streaming-native equivalents a
+  * large-scale pipeline needs: file-source → watermark → windowed
+  * aggregation → sink. Locally a batch of parquet drives the stream to
+  * completion with Trigger.AvailableNow, which is also the 100 TB
+  * catch-up pattern (process-available-then-stop on a schedule).
+  */
+object EventsStream {
+
+  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as
+    * long, converted after). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly per-type counts/sums as a streaming query, run to completion
+    * on the available data and returned as a DataFrame. Semantically
+    * identical to the batch `q_events_hourly` — same oracle. */
+  def hourlyAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_hourly_out"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .format("parquet")
+      // file source wants a directory: scan the table dir, glob the file
+      .option("pathGlobFilter", "events.parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis layer for training-data pipelines over the `documents`
+  * table: tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is built-in expression work (codegen'd, no UDFs): at 100 TB
+  * these run as a single narrow projection over the scan — no shuffle at
+  * all until an aggregation asks for one. All arithmetic that reaches an
+  * output column is either integer-exact or a single IEEE double op, so
+  * the DuckDB oracles hash-match.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased text. */
+  val tokens: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** BPE-ish tokens: alnum runs (filtered of empties so Spark's
+    * trailing-empty trimming and DuckDB's keep-all agree). */
+  val alnumTokens: Column =
+    filter(split(lower(trim(col("text"))), "[^a-z0-9]+"), x => x =!= lit(""))
+
+  /** Stopword hit count for a language's list (counts repeats — a
+    * frequency signal, not set overlap). */
+  def stopHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, x => x.isin(stopwords.map(lit): _*)))
+
+  val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  val esStops = Seq("el", "la", "de", "que", "y", "en")
+  val deStops = Seq("der", "die", "das", "und", "ist")
+  val frStops = Seq("le", "les", "et", "est", "une")
+
+  /** n-gram-heuristic language ID: argmax of stopword-list hits with a
+    * deterministic precedence (en > es > de > fr > und) on ties. */
+  def langIdExpr(toks: Column): Column = {
+    val en = stopHits(toks, enStops)
+    val es = stopHits(toks, esStops)
+    val de = stopHits(toks, deStops)
+    val fr = stopHits(toks, frStops)
+    val best = greatest(en, es, de, fr)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .when(de === best, lit("de"))
+      .otherwise(when(fr === best, lit("fr")).otherwise(lit("und")))
+      // precedence chain keeps ties deterministic
+  }
+
+  /** Punctuation/symbol character count: what remains after stripping
+    * alnum + whitespace (Spark regexp_replace is global by default; the
+    * oracle passes the 'g' flag). */
+  val punctCount: Column =
+    length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — two docs with the same bag-of-words collapse to one
+    * fingerprint (exact-dedup key robust to word order). */
+  val fingerprint: Column =
+    md5(array_join(array_sort(array_distinct(tokens)), " "))
+}

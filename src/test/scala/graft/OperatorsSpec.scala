@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("RepairJoin: tight match wins, loose repairs, defaults fill the rest") {
+    val base = Seq((1L, 10L, 1), (2L, 20L, 2), (3L, 99L, 3))
+      .toDF("id", "k1", "nat")
+    val dim = Seq((10L, "tight", 1, 5.0), (10L, "loose-better", 2, 9.0),
+      (20L, "loose", 7, 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val out = RepairJoin(base, "id", dim,
+      dimCols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      rounds = Seq(
+        (b, d) => d("s_suppkey") === b("k1") && d("s_nationkey") === b("nat"),
+        (b, d) => d("s_suppkey") === b("k1")),
+      dedupOrder = Seq(col("s_acctbal").desc, col("s_suppkey")),
+      defaults = Map("s_suppkey" -> lit(-1L), "s_name" -> lit("DEFAULT"),
+        "s_nationkey" -> lit(-1), "s_acctbal" -> lit(0.0)))
+      .select("id", "s_name").as[(Long, String)].collect().toMap
+    // id=1: round 1 tight match (nat=1) must beat the higher-acctbal loose row
+    assert(out(1L) == "tight")
+    // id=2: no tight match; round 2 loose match
+    assert(out(2L) == "loose")
+    // id=3: no match at all → defaults
+    assert(out(3L) == "DEFAULT")
+  }
+
+  test("DisjunctiveJoin rewrite ≡ verbatim OR-join") {
+    val l = spark.read.parquet(s"$sf/customer.parquet")
+    val r = spark.read.parquet(s"$sf/supplier.parquet")
+    val cond = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      b("s_suppkey") === a("c_custkey") % 150 ||
+        (b("s_suppkey") === a("c_custkey") % 50 && b("s_nationkey") === a("c_nationkey"))
+    val verbatim = DisjunctiveJoin.orJoin(l, r, cond(l, r))
+      .select(col("c_custkey"), col("s_suppkey"))
+    val rewrite = DisjunctiveJoin.orEquiJoinRewrite(l, r,
+      Seq((a, b) => b("s_suppkey") === a("c_custkey") % 150,
+        (a, b) => b("s_suppkey") === a("c_custkey") % 50 &&
+          b("s_nationkey") === a("c_nationkey")),
+      "c_custkey", "s_suppkey")
+      .select(col("c_custkey"), col("s_suppkey"))
+    assert(verbatim.except(rewrite).count() == 0)
+    assert(rewrite.except(verbatim).count() == 0)
+    assert(verbatim.count() == rewrite.count())
+  }
+
+  test("surrogate keys: scalable form equals global form") {
+    val df = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey")
+    val g = TopK.surrogateKeyGlobal(df, col("o_orderkey"))
+    val sc = TopK.surrogateKeyScalable(df, col("o_orderkey"))
+    assert(g.except(sc).count() == 0 && sc.except(g).count() == 0)
+  }
+
+  test("Delta.reconcile flags equal frames as ok and diffs as not") {
+    val a = spark.read.parquet(s"$sf/nation.parquet")
+    assert(Delta.reconcile(a, a).ok)
+    val b = a.filter(col("n_nationkey") =!= 3)
+    val rep = Delta.reconcile(a, b)
+    assert(!rep.ok && rep.srcMinusTgt == 1 && rep.tgtMinusSrc == 0)
+  }
+
+  test("newKeysOnly matches NOT-IN-with-coalesce semantics") {
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val tgt = Seq(Some(1L), None).toDF("k2")
+    val out = Delta.newKeysOnly(src, tgt, "k", "k2", lit(-1L))
+      .select("k").as[Long].collect().sorted
+    assert(out.sameElements(Array(2L, 3L)))
+  }
+}
