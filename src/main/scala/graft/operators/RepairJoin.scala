@@ -53,8 +53,11 @@ object RepairJoin {
       val joined = b.join(broadcast(d), cond(b, d), "left")
       val selected = joined.select(
         baseCols.map(c => col(s"b.$c")) ++ dimCols.map(c => col(s"d.$c")): _*)
+      // persist: the matched/unmatched split reads this twice and the
+      // final union re-executes every branch — without it each round's
+      // join+window pipeline is recomputed ~3×
       val deduped = TopK.top1PerKey(selected, Seq(col(baseKey)),
-        dedupOrder :+ col(baseKey))
+        dedupOrder :+ col(baseKey)).persist()
       branches ::= deduped.filter(col(matchProbe).isNotNull)
       current = deduped.filter(col(matchProbe).isNull).select(baseCols.map(col): _*)
     }

@@ -18,21 +18,25 @@ import org.apache.spark.sql.functions._
   *    per-bucket join: at 100 TB the corpus is hash-partitioned by bucket
   *    and each bucket joins locally; recall is traded via nBits.
   *
-  * Dot products are computed in double with sequential fold order
-  * (`aggregate(zip_with(...))`) — the same order DuckDB's
-  * `list_inner_product` uses, keeping scores comparable to the oracle.
+  * Dot products run through the codegen-native `dot_f64` expression
+  * (`graft.functions.DotProductF64`) — a tight fused loop with the same
+  * sequential summation order DuckDB's `list_inner_product` uses, so
+  * scores stay bit-comparable to the oracle.
   */
 object Knn {
 
   /** Embedding prep: cast float[] → double[] once, precompute the norm. */
   def prepared(emb: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame =
+      embCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
     emb.select(col(idCol), col(embCol).cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")))
+      .withColumn("nrm", sqrt(expr("dot_f64(e, e)")))
+      .persist() // query + corpus sides share this lineage
+  }
 
-  private val dotQC: Column = expr(
-    "aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Codegen-native dot product (same left-to-right summation order as
+    * the composable aggregate(zip_with(...)) form it replaced). */
+  private def dotQC: Column = expr("dot_f64(qe, ce)")
 
   /** Exact cosine top-k for a (small, broadcast) query subset. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {

@@ -60,8 +60,11 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("band_val"))
     }
+    // persist: both sides of the self-join share this lineage — without
+    // it Spark recomputes the shingle+minhash pipeline per side
     val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+      .persist()
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     a.join(b,
@@ -76,7 +79,8 @@ object Dedup {
   /** n-gram Jaccard near-dup: inverted-index candidate pairs over
     * frequency-capped shingles, then exact Jaccard on the full shingle
     * sets of candidates only. */
-  def jaccardPairs(sh: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+  def jaccardPairs(sh0: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+    val sh = sh0.persist() // reused 5× (sizes, rare, both join sides ×2)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
@@ -118,7 +122,7 @@ object Dedup {
     * pairs within Hamming distance 6 share a byte with high probability),
     * verified with exact bit_count(xor). */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = sh.persist().select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_idx"),
           (shiftright(col("simhash"), k * 8) % 256).as("band_val"))): _*)).as("b"))
