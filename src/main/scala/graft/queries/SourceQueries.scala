@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Sinks, Tables}
+import graft.operators.Delta
+
+/** Remaining source/sink/catalog surface (SURVEY.md §2a) + the §5
+  * reconciliation block as a first-class query.
+  *
+  * S4/S5/S6 (JDBC / DocumentDB connectors) have no local endpoints —
+  * per SURVEY they are modeled as parquet snapshot ingest (S2/S3) and
+  * nested-document writes (q_doc_assembly_nested); the connector
+  * plumbing is config, not query semantics.
+  */
+object SourceQueries {
+
+  /** S7: driver-lifted JSON payloads → columns. The reference lifts REST
+    * JSON via createDataFrame (`FULL:150-156`); here the JSON rides in
+    * `events.props` and is lifted with from_json — the engine-side half
+    * of the same pattern. */
+  private val jsonLift = Q("q_s7_json_lift",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType)))))
+        .select(col("event_id"), col("event_type"),
+          col("p.k").as("k"),
+          (col("p.k") % 10).as("k_bucket")),
+    Some("""
+      SELECT event_id, event_type,
+        TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS k,
+        TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) % 10 AS k_bucket
+      FROM events"""))
+
+  /** S2 (full form): Hive-style partitioned overwrite via partitionBy —
+    * the reference's dataset_date=/job_run_id= directory layout
+    * (`FULL:72`, `PUSH:65`) — then read back through partition
+    * discovery. */
+  private val partSink = Q("q_s2_partitioned_sink",
+    (s, dir) => {
+      val src = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      Sinks.writePartitioned(src,
+        "/root/repo/target/stage/q_s2_partitioned_sink", Seq("o_orderstatus"))
+      s.read.parquet("/root/repo/target/stage/q_s2_partitioned_sink")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"""))
+
+  /** S9: catalog metadata ops — SHOW TABLES over the registered temp-view
+    * catalog (the local analogue of the Glue catalog, `FULL:122-131`). */
+  private val catalog = Q("q_s9_catalog_tables",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SHOW TABLES").select(col("tableName").as("table_name"))
+        .filter(col("table_name").isin(Tables.names: _*))
+    },
+    Some(Tables.names.sorted
+      .map(n => s"SELECT '$n' AS table_name")
+      .mkString("\n      UNION ALL ")))
+
+  /** §5: the reconciliation block (`PUSH:369-457`) as data — counts,
+    * column-set equality, symmetric MINUS both ways, and the aggregate
+    * validation verdict the reference raises on. */
+  private val reconcile = Q("q_reconcile_report",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "lineitem")
+        .where(col("l_linestatus") === "F")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val tgt = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val r = Delta.reconcile(src, tgt)
+      Seq((r.srcCount, r.tgtCount,
+        r.missingCols.length.toLong, r.extraCols.length.toLong,
+        r.srcMinusTgt, r.tgtMinusSrc, r.ok))
+        .toDF("src_count", "tgt_count", "n_missing_cols", "n_extra_cols",
+          "src_minus_tgt", "tgt_minus_src", "is_ok")
+    },
+    Some("""
+      WITH src AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+                   WHERE l_linestatus = 'F'),
+           tgt AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+                   WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+           m1 AS (SELECT count(*) AS a FROM (SELECT * FROM src EXCEPT SELECT * FROM tgt)),
+           m2 AS (SELECT count(*) AS b FROM (SELECT * FROM tgt EXCEPT SELECT * FROM src))
+      SELECT (SELECT count(*) FROM src) AS src_count,
+             (SELECT count(*) FROM tgt) AS tgt_count,
+             CAST(0 AS BIGINT) AS n_missing_cols,
+             CAST(0 AS BIGINT) AS n_extra_cols,
+             m1.a AS src_minus_tgt,
+             m2.b AS tgt_minus_src,
+             ((SELECT count(*) FROM src) = (SELECT count(*) FROM tgt)
+              AND m1.a = 0 AND m2.b = 0) AS is_ok
+      FROM m1, m2"""))
+
+  val all: Seq[Q] = Seq(jsonLift, partSink, catalog, reconcile)
+}
