@@ -73,8 +73,42 @@ object Flagship {
         "s_suppkey" -> lit(-1L), "s_name" -> lit("DEFAULT"),
         "s_nationkey" -> lit(-1), "s_acctbal" -> lit(0.0)))
 
+    // stage5+ — model/variant master joins with ambiguous-name suffixing
+    // (FULL:1061-1180, J5/J6): part plays the model master; duplicate
+    // p_name gets a disambiguating suffix like the reference's modelDesc.
+    val part = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+    val dupNames = part.groupBy(col("p_name")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("p_name").as("__dup_name"))
+    val modelMaster = part
+      .join(broadcast(dupNames), part("p_name") === col("__dup_name"), "left")
+      .select(col("p_partkey"),
+        when(col("__dup_name").isNotNull,
+          concat(col("p_name"), lit("-"), col("p_partkey").cast("string")))
+          .otherwise(col("p_name")).as("model_desc"),
+        col("p_brand").as("model_code"), col("p_type").as("variant_desc"))
+    val stage5 = repaired
+      .join(broadcast(modelMaster),
+        repaired("o_orderkey") % 2000 === modelMaster("p_partkey"), "left")
+      .drop("p_partkey")
+
+    // channel-correction IN-list ladder + default model injection
+    // (FULL:1248-1294) and VOC/queryDescription assembly with the
+    // 2000-char truncation (FULL:1233-1243).
+    val stage6 = stage5
+      .withColumn("channel",
+        when(col("channel") === "OTHER" &&
+          col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), lit("DEALER"))
+          .otherwise(col("channel")))
+      .withColumn("model_desc", coalesce(col("model_desc"), lit("UNKNOWN-MODEL")))
+      .withColumn("variant_desc", coalesce(col("variant_desc"), lit("STD")))
+      .withColumn("query_description",
+        substring(concat_ws(" | ",
+          col("prospect_type"), col("nation_name"), col("model_desc"),
+          col("s_name")), 1, 2000))
+
     // surrogate key (FULL:413) — scalable form, no global sort.
-    val keyed = TopK.surrogateKeyScalable(repaired, col("o_orderkey"),
+    val keyed = TopK.surrogateKeyScalable(stage6, col("o_orderkey"),
       "PM", 9, "prospect_id")
 
     // nested document (PUSH:239-345) + final select (FULL:1352-1439).
@@ -95,10 +129,22 @@ object Flagship {
         col("o_totalprice").as("totalPrice"),
         col("o_orderstatus").as("status"),
         col("prospect_type").as("prospectType")).as("purchaseDetails"),
+      struct(
+        col("model_desc").as("modelDesc"),
+        col("model_code").as("modelCode"),
+        col("variant_desc").as("variantDesc"),
+        col("query_description").as("queryDescription")).as("vehicleDetails"),
       struct(Documents.questionnaire(Seq(
         "QM004" -> Seq(col("c_mktsegment")),
         "QM005" -> Seq(col("o_orderpriority"), col("o_orderstatus"))
-      )).as("interests")).as("enrollmentDetails"))
+      )).as("interests")).as("enrollmentDetails"),
+      // constant-column block (FULL:1321-1349: ~24 literal columns) +
+      // snapshot stamp (FULL:1447)
+      struct(
+        lit("GRAFT").as("orgCode"), lit("IN").as("countryCode"),
+        lit("1.0").as("schemaVersion"), lit(false).as("isDeleted"),
+        lit(null).cast("string").as("legacyRef"),
+        current_timestamp().as("snapshotTs")).as("audit"))
     Documents.nullifyStructWhen(doc, "enrollmentDetails",
       col("purchaseDetails.status") === lit("O"))
   }

@@ -52,10 +52,15 @@ object TopK {
       width: Int = 9, outCol: String = "surrogate_id"): DataFrame = {
     val ranged = df.repartitionByRange(orderCol)
       .sortWithinPartitions(orderCol)
+    // persist is load-bearing, not an optimization: offsets and the main
+    // join both consume this frame, and two independent evaluations may
+    // pick different sampled range boundaries / AQE-coalesced partition
+    // counts — inconsistent __pid spaces silently drop or duplicate rows
     val withLocal = ranged
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
         row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCol)))
+      .persist()
     val offsets = withLocal.groupBy(col("__pid")).count()
       .withColumn("__offset",
         coalesce(sum(col("count")).over(

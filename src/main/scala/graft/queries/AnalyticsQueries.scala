@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.SkewOps
+import graft.sources.Tables
+import graft.streaming.Sessionize
+
+/** Beyond-parity analytics: full window-function surface, rollup,
+  * exact distinct counts, sessionization, and skew-safe aggregation —
+  * the OLAP capabilities the reference lacks but an analytics engine at
+  * 100 TB needs.
+  */
+object AnalyticsQueries {
+
+  /** Sessionization (batch): 30-min-gap sessions per user. */
+  private val sessionize = Q("q_events_sessionize",
+    (s, dir) => Sessionize.batch(Tables.load(s, dir, "events")),
+    Some("""
+      WITH l AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns,
+          event_id
+        FROM l),
+      se AS (
+        SELECT user_id, ts,
+          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f)
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end
+      FROM se GROUP BY user_id, session_id"""))
+
+  /** Window analytics: rank / lag-diff / running count / ntile over a
+    * totally ordered per-customer frame. */
+  private val windowAnalytics = Q("q_window_analytics",
+    (s, dir) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(byCust).cast("long"))
+        .withColumn("running_n", count(lit(1)).over(
+          byCust.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byCust))
+        .withColumn("quartile", ntile(4).over(byCust).cast("long"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        count(*) OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+        lag(o_totalprice) OVER w AS prev_price,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"""))
+
+  /** Rollup with exact decimal sums (subtotal + grand-total rows). */
+  private val rollup = Q("q_agg_rollup",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast("double").as("sum_base")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  /** Exact distinct counts (the expensive-but-precise form; the approx
+    * HLL variant has no cross-engine oracle). */
+  private val distinctCount = Q("q_agg_distinct_exact",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Salted two-phase aggregation ≡ direct aggregation (the skew-safe
+    * plan shape, verified by the direct-form oracle). */
+  private val salted = Q("q_skew_salted_agg",
+    (s, dir) => SkewOps.saltedAgg(
+      Tables.load(s, dir, "lineitem"),
+      key = col("l_suppkey"), sumCol = col("l_quantity"), salts = 16,
+      spreader = col("l_orderkey"),
+      keyName = "l_suppkey", countName = "n", sumName = "sum_qty"),
+    Some("""
+      SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_suppkey"""))
+
+  val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, distinctCount, salted)
+}

@@ -63,5 +63,12 @@ object PipelineQueries {
     (s, dir) => graft.Flagship.prospectPipeline(s, dir),
     None)
 
-  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, streamHourly, flagship)
+  /** EP2 outbound push: delta-select + stage-out + validation (rows-only:
+    * nested docs; the validation report is asserted in tests). */
+  private val outbound = Q("q_outbound_push",
+    (s, dir) => graft.Outbound.push(s, dir,
+      "/root/repo/target/stage/q_outbound_push").docs,
+    None)
+
+  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, streamHourly, flagship, outbound)
 }

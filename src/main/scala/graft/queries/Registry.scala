@@ -14,6 +14,6 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    ParityQueries.all ++ SourceQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ PipelineQueries.all
+    ParityQueries.all ++ SourceQueries.all ++ AnalyticsQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all
 }

@@ -33,7 +33,9 @@ object Tables {
     val df = spark.read.parquet(path(dir, name))
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer DIV, not `/`: double division loses ulps above 2^53 and
+        // shifts timestamps by ±1 µs
+        d.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else d
     }
   }

@@ -38,7 +38,7 @@ object EventsStream {
       // file source wants a directory: scan the table dir, glob the file
       .option("pathGlobFilter", "events.parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),

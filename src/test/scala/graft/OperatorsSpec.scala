@@ -54,6 +54,13 @@ class OperatorsSpec extends SparkSuite {
     val g = TopK.surrogateKeyGlobal(df, col("o_orderkey"))
     val sc = TopK.surrogateKeyScalable(df, col("o_orderkey"))
     assert(g.except(sc).count() == 0 && sc.except(g).count() == 0)
+    // survive a write path (regression: inconsistent __pid spaces under
+    // AQE dropped rows between count and write)
+    val out = "/root/repo/target/stage/surrogate_roundtrip"
+    sc.coalesce(1).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    assert(back.select("surrogate_id").distinct().count() == df.count())
   }
 
   test("Delta.reconcile flags equal frames as ok and diffs as not") {

@@ -22,7 +22,8 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.queries.keySet == names)
     val noOracle = names -- SparkEntry.oracleSql.keySet
     // only nested-output / flagship queries may omit the oracle
-    assert(noOracle.subsetOf(Set("q_doc_assembly_nested", "q_flagship_pipeline")))
+    assert(noOracle.subsetOf(Set("q_doc_assembly_nested", "q_flagship_pipeline",
+      "q_outbound_push")))
   }
 
   test("entry returns rows (driver t1 smoke)") {
