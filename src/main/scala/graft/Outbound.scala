@@ -19,7 +19,9 @@ object Outbound {
 
   def push(spark: SparkSession, dir: String,
       stagePath: String = "/root/repo/target/stage/outbound"): PushResult = {
-    val prospects = Flagship.prospectPipeline(spark, dir)
+    // the pipeline output feeds the delta's both sides + validation:
+    // persist instead of re-running the whole build per consumer
+    val prospects = Flagship.prospectPipeline(spark, dir).persist()
 
     // runtime schema introspection before trusting the target collection
     // (`if 'leadid' in df_docdb.columns`, PUSH:206)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{Sinks, Tables}
+import graft.sources.{Bucketing, Sinks, Tables}
 import graft.operators.Delta
 
 /** Remaining source/sink/catalog surface (SURVEY.md §2a) + the §5
@@ -98,5 +98,15 @@ object SourceQueries {
               AND m1.a = 0 AND m2.b = 0) AS is_ok
       FROM m1, m2"""))
 
-  val all: Seq[Q] = Seq(jsonLift, partSink, catalog, reconcile)
+  /** Bucketed co-located join: both sides pre-bucketed on the join key →
+    * shuffle-free sort-merge join (plan asserted in BucketingSpec). */
+  private val bucketed = Q("q_bucketed_join",
+    (s, dir) => Bucketing.coLocatedOrderJoin(s, dir),
+    Some("""
+      SELECT o_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+        max(o_totalprice) AS total_price
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(jsonLift, partSink, catalog, reconcile, bucketed)
 }

@@ -1,0 +1,42 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties we claim must be
+  * visible in the executed plan, not just asserted in prose.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan filters reach the parquet reader (pushdown)") {
+    val p = planOf("q_s1_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))
+  }
+
+  test("decode star broadcasts every dim; fact side never shuffles") {
+    val p = planOf("q_j1_star_decode")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // only dim-side distinct aggregations may exchange; the fact feeds
+    // broadcast joins directly from its scan
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"))
+  }
+
+  test("verbatim OR-join is nested-loop; rewrite eliminates it") {
+    assert(planOf("q_j3_disjunctive_join").contains("BroadcastNestedLoopJoin"))
+    assert(!planOf("q_j3_union_rewrite").contains("NestedLoop"))
+  }
+
+  test("repair ladder joins are all broadcast") {
+    val p = planOf("q_repair_ladder")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-1 windows use WindowGroupLimit partial pushdown") {
+    assert(planOf("q_w2_top1_per_key").contains("WindowGroupLimit"))
+  }
+}
