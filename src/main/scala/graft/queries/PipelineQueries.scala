@@ -70,5 +70,16 @@ object PipelineQueries {
       "/root/repo/target/stage/q_outbound_push").docs,
     None)
 
-  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, streamHourly, flagship, outbound)
+  /** Stream-static enrichment join (stream events ⋈ static customer dim,
+    * broadcast per micro-batch) — oracle is the batch equivalent. */
+  private val streamEnrich = Q("q_stream_static_join",
+    (s, dir) => graft.streaming.EventsStream.enrichedStream(s, dir),
+    Some("""
+      SELECT event_type, coalesce(c_mktsegment, 'NONE') AS segment,
+        count(*) AS n
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, streamHourly, streamEnrich,
+    flagship, outbound)
 }

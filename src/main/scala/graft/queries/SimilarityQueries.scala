@@ -63,5 +63,37 @@ object SimilarityQueries {
         FROM pb a JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cos >= 0.30"""))
 
-  val all: Seq[Q] = Seq(brute, lsh, pairs)
+  private val ivf = Q("q_knn_ivf",
+    (s, dir) => Knn.ivfTopK(
+      Tables.load(s, dir, "embeddings"), col("vec_id") < 5,
+      k = 10, nCentroids = 16, nProbe = 2),
+    Some(prepCte + """,
+      cents AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM p
+                WHERE vec_id < 16),
+      asg AS (SELECT cid, centroid_id FROM (
+        SELECT p.vec_id AS cid, c.centroid_id,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY list_inner_product(p.e, c.ce) / (p.nrm * c.cn) DESC,
+                     c.centroid_id) AS crank
+        FROM p, cents c) WHERE crank <= 1),
+      probes AS (SELECT qid, centroid_id FROM (
+        SELECT p.vec_id AS qid, c.centroid_id,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY list_inner_product(p.e, c.ce) / (p.nrm * c.cn) DESC,
+                     c.centroid_id) AS crank
+        FROM p, cents c WHERE p.vec_id < 5) WHERE crank <= 2),
+      cand AS (SELECT DISTINCT pr.qid, a.cid
+               FROM probes pr JOIN asg a ON pr.centroid_id = a.centroid_id
+               WHERE pr.qid <> a.cid)
+      SELECT qid, cid, rank, round(cos, 6) AS cos_r FROM (
+        SELECT cand.qid, cand.cid,
+          list_inner_product(q.e, c.e) / (q.nrm * c.nrm) AS cos,
+          row_number() OVER (PARTITION BY cand.qid
+            ORDER BY list_inner_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                     cand.cid) AS rank
+        FROM cand JOIN p q ON cand.qid = q.vec_id
+                  JOIN p c ON cand.cid = c.vec_id)
+      WHERE rank <= 10"""))
+
+  val all: Seq[Q] = Seq(brute, lsh, ivf, pairs)
 }

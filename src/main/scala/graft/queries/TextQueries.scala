@@ -207,6 +207,23 @@ object TextQueries {
        AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""))
 
-  val all: Seq[Q] = Seq(tokenCount, langId, quality, exact, jaccard,
+  /** Corpus vocabulary statistics: document frequency + total term
+    * frequency per token — the substrate for TF-IDF filtering and
+    * stopword discovery in a training-data pipeline. One explode + one
+    * groupBy (shuffle on token). */
+  private val vocab = Q("q_text_vocab_stats",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens).as("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf")),
+    Some(raw"""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                 FROM documents)
+      SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM t GROUP BY tok"""))
+
+  val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, exact, jaccard,
     minhash, lsh, simhash, simhashPairs)
 }

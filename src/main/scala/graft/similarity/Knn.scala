@@ -77,6 +77,50 @@ object Knn {
         round(col("cos"), 6).as("cos_r"))
   }
 
+  /** IVF-style ANN: a deterministic inverted-file index. The first
+    * `nCentroids` vectors act as coarse centroids (a k-means-free stand-in
+    * that keeps the oracle reproducible); every vector is assigned to its
+    * nearest centroid's list; a query probes the `nProbe` nearest
+    * centroid lists and brute-forces only those candidates. At 100 TB the
+    * corpus is partitioned by list id, so a query touches nProbe
+    * partitions instead of the whole corpus.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val p = prepared(emb)
+    val cents = p.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    // coarse assignment: nearest centroid per vector (cosine, id tiebreak)
+    def nearest(side: DataFrame, idCol: String, keep: Int): DataFrame =
+      side.select(col("vec_id").as(idCol), col("e").as("qe"), col("nrm").as("qn"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("ccos", dotQC / (col("qn") * col("cn")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("ccos").desc, col("centroid_id"))))
+        .filter(col("crank") <= keep)
+        .select(col(idCol), col("centroid_id"))
+    val assignment = nearest(p, "cid", 1)          // corpus → 1 list each
+    val probes = nearest(p.filter(queryPred), "qid", nProbe) // query → nProbe lists
+    // candidate id pairs via the inverted lists, dedup'd before vectors
+    // are re-attached (a candidate can surface from several probes)
+    val cand = assignment.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+    val qVec = p.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val cVec = p.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    cand.join(broadcast(qVec), Seq("qid"))
+      .join(cVec, Seq("cid"))
+      .withColumn("cos", dotQC / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
   /** Embedding-cosine near-dup pairs within buckets (the scale path: the
     * bucket equi-join shards the quadratic work). */
   def similarPairs(emb: DataFrame, nBits: Int, threshold: Double): DataFrame = {

@@ -54,4 +54,33 @@ object EventsStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (users → nation decode via customer) — the streaming
+    * analogue of the decode star. The static side is re-read per
+    * micro-batch by Spark, so dim updates are picked up without restart;
+    * at scale the dim is broadcast into each batch. */
+  def enrichedStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_enriched_out"
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("event_type"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
