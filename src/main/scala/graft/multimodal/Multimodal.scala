@@ -47,6 +47,20 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("mean_byte", DoubleType)))
 
+  /** Frame sampling: slice the payload into fixed-size frames (the video
+    * frame-sample analog) — pure expression work (sequence + transform +
+    * posexplode), so it stays columnar and shuffle-free at any scale. */
+  def sampleFrames(media: DataFrame, frameBytes: Int): DataFrame =
+    media
+      .select(col("media_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("frame", explode(expr(
+        s"transform(sequence(0, CAST((n_bytes - 1) DIV $frameBytes AS INT)), " +
+          s"i -> struct(i AS idx, substring(payload, i * $frameBytes + 1, $frameBytes) AS bytes))")))
+      .select(col("media_id"),
+        col("frame.idx").cast("long").as("frame_idx"),
+        length(col("frame.bytes")).cast("long").as("frame_len"),
+        md5(col("frame.bytes")).as("frame_md5"))
+
   /** Partition-wise feature extraction over the binary payload. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -401,6 +401,17 @@ object ParityQueries {
              (SELECT count(*) FROM (SELECT * FROM tgt EXCEPT SELECT * FROM src))
       ORDER BY direction"""))
 
+  /** INTERSECT (absent from the reference; completes the set-op family
+    * with U1/U2). */
+  private val u3 = Q("q_u3_intersect",
+    (s, dir) => u2Src(s, dir).intersect(u2Tgt(s, dir)),
+    Some("""
+      SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      WHERE l_linestatus = 'F'
+      INTERSECT
+      SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"""))
+
   // ---------------------------------------------------------------- P9/J7
   /** P9/J7: "new keys only" delta via null-safe anti join — reproduces
     * `leadid not in (select coalesce(leadid,'') …)` (`PUSH:207-215`). */
@@ -617,6 +628,6 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     s1, pShape, fScalar, fDatetime, f5,
     j1, j2, j3, j3r, j4, j6, a3,
-    w1, w1s, w2, u1, u2, p9, ladder,
+    w1, w1s, w2, u1, u2, u3, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)
 }

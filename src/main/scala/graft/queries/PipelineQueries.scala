@@ -70,6 +70,24 @@ object PipelineQueries {
       "/root/repo/target/stage/q_outbound_push").docs,
     None)
 
+  /** Frame sampling over binary payloads (video frame-sample analog):
+    * fixed 64-byte frames, length + content hash per frame. md5 over
+    * ascii payload bytes == md5 over the substring in the oracle. */
+  private val mmFrames = Q("q_mm_frame_sample",
+    (s, dir) => Multimodal.sampleFrames(
+      Multimodal.asMedia(Tables.load(s, dir, "documents")), frameBytes = 64),
+    Some("""
+      WITH f AS (SELECT doc_id AS media_id, text,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      idx AS (SELECT media_id, text,
+          unnest(range(0, (n_bytes - 1) // 64 + 1)) AS frame_idx
+        FROM f)
+      SELECT media_id, frame_idx,
+        CAST(octet_length(encode(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))) AS BIGINT) AS frame_len,
+        md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
+      FROM idx"""))
+
   /** Stream-static enrichment join (stream events ⋈ static customer dim,
     * broadcast per micro-batch) — oracle is the batch equivalent. */
   private val streamEnrich = Q("q_stream_static_join",
@@ -80,6 +98,6 @@ object PipelineQueries {
       FROM events LEFT JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, streamHourly, streamEnrich,
-    flagship, outbound)
+  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, streamHourly,
+    streamEnrich, flagship, outbound)
 }
