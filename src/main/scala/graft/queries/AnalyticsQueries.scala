@@ -106,5 +106,28 @@ object AnalyticsQueries {
       SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS sum_qty
       FROM lineitem GROUP BY l_suppkey"""))
 
-  val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, distinctCount, salted)
+  /** Typed top-k Aggregator (bounded map-side combine) ≡ window top-k:
+    * shuffle volume O(groups·k) instead of all rows — the skew/scale-safe
+    * top-k form, verified against the window-form oracle. */
+  private val topkAgg = Q("q_topk_aggregator",
+    (s, dir) => {
+      val topk = udaf(new graft.functions.TopKDoubles(3),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(topk(col("l_extendedprice")).as("prices"))
+        .select(col("l_orderkey"), posexplode(col("prices")))
+        .select(col("l_orderkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("price"))
+    },
+    Some("""
+      SELECT l_orderkey, CAST(rn AS BIGINT) AS rank, l_extendedprice AS price
+      FROM (SELECT l_orderkey, l_extendedprice,
+              row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY l_extendedprice DESC) AS rn
+            FROM lineitem)
+      WHERE rn <= 3"""))
+
+  val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, distinctCount,
+    salted, topkAgg)
 }

@@ -39,4 +39,16 @@ class PlanSpec extends SparkSuite {
   test("top-1 windows use WindowGroupLimit partial pushdown") {
     assert(planOf("q_w2_top1_per_key").contains("WindowGroupLimit"))
   }
+
+  test("Hive-style partition layout prunes at the reader") {
+    // materialize the partitioned sink, then read one partition back
+    SparkEntry.queries("q_s2_partitioned_sink")(spark, sf).count()
+    val df = spark.read
+      .parquet("/root/repo/target/stage/q_s2_partitioned_sink")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      plan.take(800))
+  }
 }
