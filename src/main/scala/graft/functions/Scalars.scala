@@ -47,7 +47,7 @@ object Scalars {
   /** P2: bulk rename via a single select (cheaper than 16 chained
     * `withColumnRenamed`, `FULL:310-325` — one projection node). */
   def renameAll(df: DataFrame, renames: Map[String, String]): DataFrame =
-    df.select(df.columns.map(c =>
+    df.select(df.columns.toIndexedSeq.map(c =>
       col(c).as(renames.getOrElse(c, c))): _*)
 
   /** P3: bulk drop (`FULL:510-593` drops ~200 columns). */
