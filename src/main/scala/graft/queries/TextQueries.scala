@@ -125,18 +125,16 @@ object TextQueries {
       Dedup.shingles(Tables.load(s, dir, "documents")), dfCap = 10, threshold = 0.5),
     Some(shCte + raw""",
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10),
-      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-               FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
-               WHERE a.doc_id < b.doc_id),
-      common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
-                 FROM sh a JOIN sh b USING (s)
-                 JOIN cand ON a.doc_id = cand.da AND b.doc_id = cand.db
-                 GROUP BY 1, 2)
+      dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common,
+                  max(CASE WHEN dfreq.df <= 10 THEN 1 ELSE 0 END) AS has_rare
+                FROM sh a JOIN sh b USING (s) JOIN dfreq USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
       SELECT da, db, n_common,
         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-      FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""))
+      FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE has_rare = 1
+        AND CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""))
 
   // ---------------------------------------------------------------- dedup: minhash
   private val sigColsSql = Dedup.AS.indices.map(i =>

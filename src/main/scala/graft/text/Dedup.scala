@@ -80,21 +80,23 @@ object Dedup {
     * frequency-capped shingles, then exact Jaccard on the full shingle
     * sets of candidates only. */
   def jaccardPairs(sh0: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
-    val sh = sh0.persist() // reused 5× (sizes, rare, both join sides ×2)
+    val sh = sh0.persist() // reused 4× (sizes, df, both join sides)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("s")
-    val a = sh.alias("a")
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // single inverted-index pass: count shared shingles per pair AND
+    // remember whether any shared shingle is rare — pairs with no rare
+    // shingle are discarded after the aggregation (same candidate set as
+    // a separate rare-shingle prefilter join, one join cheaper)
+    val a = sh.join(dfreq, "s").alias("a")
     val b = sh.alias("b")
-    val cand = a.join(rare, "s").join(b, Seq("s"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    val common = a.join(b, Seq("s"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .join(cand, Seq("da", "db"), "left_semi")
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
-    common
+    val pairStats = a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        when(col("a.df") <= dfCap, 1).otherwise(0).as("rare"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_common"), max(col("rare")).as("has_rare"))
+      .filter(col("has_rare") === 1)
+    pairStats
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .withColumn("jaccard",
