@@ -128,6 +128,24 @@ object AnalyticsQueries {
             FROM lineitem)
       WHERE rn <= 3"""))
 
+  /** Exact percentiles (R-7 linear interpolation in both engines);
+    * quantity is integer-valued so interpolants stay exact. */
+  private val percentiles = Q("q_agg_percentiles",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty")),
+    Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_quantity, 0.9) AS p90_qty,
+        min(l_quantity) AS min_qty,
+        max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, distinctCount,
-    salted, topkAgg)
+    salted, topkAgg, percentiles)
 }

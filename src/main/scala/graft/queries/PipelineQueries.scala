@@ -98,6 +98,14 @@ object PipelineQueries {
       FROM events LEFT JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2"""))
 
+  /** Streaming dedup (dropDuplicates inside the watermark) — oracle is
+    * the batch distinct count. */
+  private val streamDedup = Q("q_stream_dedup",
+    (s, dir) => graft.streaming.EventsStream.dedupedCounts(s, dir),
+    Some("""
+      SELECT event_type, count(DISTINCT event_id) AS n_unique
+      FROM events GROUP BY event_type"""))
+
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, streamHourly,
-    streamEnrich, flagship, outbound)
+    streamEnrich, streamDedup, flagship, outbound)
 }

@@ -55,6 +55,32 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streaming deduplication: dropDuplicates on the event key inside the
+    * watermark horizon — the streaming form of exact dedup (state holds
+    * one key per event inside the watermark; late duplicates beyond it
+    * age out). Aggregated per type so the batch oracle can hash-match. */
+  def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_dedup_out"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (users → nation decode via customer) — the streaming
     * analogue of the decode star. The static side is re-read per
