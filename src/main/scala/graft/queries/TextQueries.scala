@@ -109,6 +109,25 @@ object TextQueries {
       FROM m"""))
 
   // ---------------------------------------------------------------- dedup: exact
+  /** Rolling-hash fingerprints: both the order-insensitive md5
+    * bag-of-words key and the order-sensitive polynomial rolling hash. */
+  private val fingerprints = Q("q_text_fingerprints",
+    (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint.as("bow_fp"),
+        TextAnalysis.rollingHash.as("rolling_fp")),
+    Some(raw"""
+      SELECT doc_id,
+        md5(list_aggr(list_sort(list_distinct(
+          string_split_regex(lower(trim(text)), '\s+'))), 'string_agg', ' ')) AS bow_fp,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split_regex(lower(trim(text)), '\s+'),
+              x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 2147483647)),
+          (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+      FROM documents"""))
+
   private val exact = Q("q_dedup_exact",
     (s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents")),
     Some(raw"""
@@ -222,6 +241,6 @@ object TextQueries {
       SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
       FROM t GROUP BY tok"""))
 
-  val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, exact, jaccard,
-    minhash, lsh, simhash, simhashPairs)
+  val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
+    exact, jaccard, minhash, lsh, simhash, simhashPairs)
 }

@@ -59,4 +59,14 @@ object TextAnalysis {
     * fingerprint (exact-dedup key robust to word order). */
   val fingerprint: Column =
     md5(array_join(array_sort(array_distinct(tokens)), " "))
+
+  /** Order-sensitive rolling fingerprint: polynomial fold over the token
+    * sequence, `h = (h·31 + hash(tok)) mod (2^31-1)` — the streaming-
+    * friendly exact-dup key where word order matters (one pass, O(1)
+    * state, no sort). */
+  val rollingHash: Column = expr(
+    "aggregate(split(lower(trim(text)), '\\\\s+'), CAST(0 AS BIGINT), " +
+      "(acc, x) -> (acc * 31 + " +
+      "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 2147483647) " +
+      "% 2147483647)")
 }
