@@ -27,6 +27,48 @@ object DisjunctiveJoin {
   def orJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(broadcast(right), cond, "left")
 
+  /** Exact multiset rewrite — no key-uniqueness assumption.
+    *
+    * OR-expansion by disjoint split: a (left-outer) OR-join pairs each
+    * left row with every right row satisfying ANY disjunct, once. Split
+    * the condition space disjointly — branch i joins on
+    * `di AND NOT(d1) AND … AND NOT(d(i-1))` — and every matching pair
+    * lands in exactly one branch. Each branch still carries its
+    * equi-conjunct, so Catalyst plans hash joins with residual filters.
+    * Unmatched left rows (LeftOuter) are recovered by a chain of hash
+    * ANTI joins (anti over d1-matches, then over d2-matches, …), padded
+    * with nulls. Every operator in the rewrite is an equi-join: the
+    * nested loop is gone at any cardinality.
+    */
+  def orJoinExact(left: DataFrame, right: DataFrame,
+      disjuncts: Seq[(DataFrame, DataFrame) => Column]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val outCols = leftCols ++ rightCols
+    // matched pairs, disjointly: d_i AND NOT d_1 .. NOT d_{i-1}
+    val branches = disjuncts.zipWithIndex.map { case (_, i) =>
+      val l = left.alias("l")
+      val r = right.alias("r")
+      val cond = disjuncts.zipWithIndex.map { case (d, j) =>
+        val c = d(l, r)
+        if (j < i) !coalesce(c, lit(false)) else if (j == i) c else lit(true)
+      }.take(i + 1).reduce(_ && _)
+      l.join(r, cond, "inner").select(
+        leftCols.map(c => col(s"l.$c")) ++ rightCols.map(c => col(s"r.$c")): _*)
+    }
+    val matched = branches.reduce(_ unionByName _)
+    // unmatched left rows: anti join per disjunct, chained (all hash antis)
+    val unmatched = disjuncts.foldLeft(left) { (acc, d) =>
+      val l = acc.alias("l")
+      val r = right.alias("r")
+      l.join(r, d(l, r), "left_anti")
+    }
+    val padded = rightCols.foldLeft(unmatched) { (d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    matched.unionByName(padded.select(outCols.map(col): _*))
+  }
+
   /** Scale rewrite: LEFT JOIN ON (d1 OR d2 OR ...) where each disjunct
     * `di(l, r)` is an equi-join-able condition.
     *

@@ -257,6 +257,24 @@ object ParityQueries {
     },
     Some(j3Oracle))
 
+  /** J3 exact multiset rewrite (OR-expansion by disjoint split + anti
+    * chain): no key-uniqueness assumption, all hash joins — same oracle
+    * as the nested-loop verbatim form. */
+  private val j3e = Q("q_j3_exact_expansion",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      DisjunctiveJoin.orJoinExact(c, sup,
+        Seq(
+          (l, r) => r("s_suppkey") === l("c_custkey") % 150,
+          (l, r) => r("s_suppkey") === l("c_custkey") % 50 &&
+            r("s_nationkey") === l("c_nationkey")))
+        .groupBy(col("c_custkey"))
+        .agg(count(col("s_suppkey")).as("n_matches"),
+          min(col("s_suppkey")).as("best_supp"))
+    },
+    Some(j3Oracle))
+
   // ---------------------------------------------------------------- J4/P7
   /** Join against a filtered, deduped dim subquery (`FULL:747-749`). */
   private val j4 = Q("q_j4_dim_distinct_join",
@@ -627,7 +645,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     s1, pShape, fScalar, fDatetime, f5,
-    j1, j2, j3, j3r, j4, j6, a3,
+    j1, j2, j3, j3r, j3e, j4, j6, a3,
     w1, w1s, w2, u1, u2, u3, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)
 }

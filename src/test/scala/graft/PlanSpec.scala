@@ -25,9 +25,10 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"))
   }
 
-  test("verbatim OR-join is nested-loop; rewrite eliminates it") {
+  test("verbatim OR-join is nested-loop; rewrites eliminate it") {
     assert(planOf("q_j3_disjunctive_join").contains("BroadcastNestedLoopJoin"))
     assert(!planOf("q_j3_union_rewrite").contains("NestedLoop"))
+    assert(!planOf("q_j3_exact_expansion").contains("NestedLoop"))
   }
 
   test("repair ladder joins are all broadcast") {
