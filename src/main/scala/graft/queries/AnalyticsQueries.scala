@@ -146,6 +146,35 @@ object AnalyticsQueries {
         max(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, distinctCount,
-    salted, topkAgg, percentiles)
+  /** CUBE over two dims (rollup's superset: all grouping combinations). */
+  private val cube = Q("q_agg_cube",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2)))
+            .cast("double").as("sum_price")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
+  /** Pivot: one column per l_returnflag value (the conditional-aggregation
+    * reshape; oracle expresses it as CASE sums). */
+  private val pivot = Q("q_agg_pivot",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r")),
+    Some("""
+      SELECT l_linestatus,
+        sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+      FROM lineitem GROUP BY l_linestatus"""))
+
+  val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
+    distinctCount, salted, topkAgg, percentiles)
 }
