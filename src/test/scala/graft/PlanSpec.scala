@@ -41,6 +41,15 @@ class PlanSpec extends SparkSuite {
     assert(planOf("q_w2_top1_per_key").contains("WindowGroupLimit"))
   }
 
+  test("flagship joins every dim via broadcast (no sort-merge joins)") {
+    val df = SparkEntry.entry(spark)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // a regression that shuffles the fact for a dim join surfaces as SMJ
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("Hive-style partition layout prunes at the reader") {
     // materialize the partitioned sink, then read one partition back
     SparkEntry.queries("q_s2_partitioned_sink")(spark, sf).count()
