@@ -61,6 +61,20 @@ object Multimodal {
         length(col("frame.bytes")).cast("long").as("frame_len"),
         md5(col("frame.bytes")).as("frame_md5"))
 
+  /** Resize stub: deterministic 1-in-k byte downsample of the payload
+    * (stands in for image resize; swap for a real scaler in production).
+    * Expression-only — sequence/transform/concat — so it runs inside
+    * whole-stage codegen. */
+  def resize(media: DataFrame, k: Int): DataFrame =
+    media
+      .select(col("media_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("resized", expr(
+        s"concat_ws('', transform(sequence(1, CAST(n_bytes AS INT), $k), " +
+          "i -> CAST(substring(payload, i, 1) AS STRING)))"))
+      .select(col("media_id"), col("n_bytes"),
+        length(col("resized")).cast("long").as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+
   /** Partition-wise feature extraction over the binary payload. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -210,6 +210,15 @@ object ParityQueries {
         o_totalprice
       FROM orders LEFT JOIN customer ON o_custkey = c_custkey"""))
 
+  /** Typed Dataset surface: joinWith over case classes + compile-checked
+    * projection (same values as the untyped join — shared oracle). */
+  private val typed = Q("q_typed_joinwith",
+    (s, dir) => TypedOps.enrich(s, dir).toDF(),
+    Some("""
+      SELECT o_orderkey AS order_id, c_name AS customer_name,
+        c_mktsegment AS segment, o_totalprice AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey"""))
+
   // ---------------------------------------------------------------- J3/J8
   private val j3Oracle = """
       SELECT c.c_custkey,
@@ -645,7 +654,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     s1, pShape, fScalar, fDatetime, f5,
-    j1, j2, j3, j3r, j3e, j4, j6, a3,
+    j1, j2, typed, j3, j3r, j3e, j4, j6, a3,
     w1, w1s, w2, u1, u2, u3, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)
 }

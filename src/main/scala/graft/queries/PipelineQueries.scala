@@ -98,6 +98,24 @@ object PipelineQueries {
       FROM events LEFT JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2"""))
 
+  /** Resize stub: 1-in-4 byte downsample with length + content hash
+    * (image-resize analog; oracle steps the string the same way). */
+  private val mmResize = Q("q_mm_resize",
+    (s, dir) => Multimodal.resize(
+      Multimodal.asMedia(Tables.load(s, dir, "documents")), k = 4),
+    Some("""
+      WITH b AS (SELECT doc_id AS media_id, text,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      r AS (SELECT media_id, n_bytes,
+          list_aggr(list_transform(range(1, CAST(n_bytes AS INTEGER) + 1, 4),
+            i -> substr(text, CAST(i AS INTEGER), 1)), 'string_agg', '') AS resized
+        FROM b)
+      SELECT media_id, n_bytes,
+        CAST(octet_length(encode(resized)) AS BIGINT) AS resized_len,
+        md5(resized) AS resized_md5
+      FROM r"""))
+
   /** Streaming dedup (dropDuplicates inside the watermark) — oracle is
     * the batch distinct count. */
   private val streamDedup = Q("q_stream_dedup",
@@ -106,6 +124,6 @@ object PipelineQueries {
       SELECT event_type, count(DISTINCT event_id) AS n_unique
       FROM events GROUP BY event_type"""))
 
-  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, streamHourly,
-    streamEnrich, streamDedup, flagship, outbound)
+  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
+    streamHourly, streamEnrich, streamDedup, flagship, outbound)
 }
