@@ -62,6 +62,31 @@ object SourceQueries {
       .map(n => s"SELECT '$n' AS table_name")
       .mkString("\n      UNION ALL ")))
 
+  /** S9 (DDL form): external partitioned table over the Hive-style sink +
+    * partition recovery + SHOW PARTITIONS — the engine-side analogue of
+    * the reference's `alter table … add partition` catalog refresh
+    * (`PUSH:175-184`). */
+  private val partitions = Q("q_s9_show_partitions",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s2_partitioned_sink"
+      Sinks.writePartitioned(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path, Seq("o_orderstatus"))
+      s.sql("DROP TABLE IF EXISTS orders_by_status")
+      s.sql(s"""CREATE TABLE orders_by_status
+                (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+                 o_orderstatus STRING)
+                USING parquet PARTITIONED BY (o_orderstatus)
+                LOCATION '$path'""")
+      s.sql("MSCK REPAIR TABLE orders_by_status") // discover partitions
+      s.sql("SHOW PARTITIONS orders_by_status")
+        .select(col("partition").as("partition_dir"))
+    },
+    Some("""
+      SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS partition_dir
+      FROM orders"""))
+
   /** §5: the reconciliation block (`PUSH:369-457`) as data — counts,
     * column-set equality, symmetric MINUS both ways, and the aggregate
     * validation verdict the reference raises on. */
@@ -108,5 +133,6 @@ object SourceQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(jsonLift, partSink, catalog, reconcile, bucketed)
+  val all: Seq[Q] = Seq(jsonLift, partSink, catalog, partitions, reconcile,
+    bucketed)
 }
