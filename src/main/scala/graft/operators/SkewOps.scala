@@ -27,4 +27,22 @@ object SkewOps {
       .agg(count(lit(1)).as("__pc"), sum(sumCol).as("__ps"))
       .groupBy(col(keyName))
       .agg(sum(col("__pc")).as(countName), sum(col("__ps")).as(sumName))
+
+  /** Skew-safe equi join: the fact side gets a salt from a spreader
+    * column; the dim side is replicated once per salt value (explode of a
+    * literal range — dim is small, replication is cheap); the join key
+    * becomes (key, salt), so a hot key's rows spread over `salts`
+    * reducers instead of one. Semantically identical to the plain join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int, spreader: Column,
+      joinType: String = "left"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(spreader), lit(salts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    saltedFact.join(replicatedDim,
+        saltedFact(factKey) === replicatedDim(dimKey) &&
+          saltedFact("__salt") === replicatedDim("__salt"),
+        joinType)
+      .drop("__salt")
+  }
 }

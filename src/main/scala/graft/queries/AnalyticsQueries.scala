@@ -175,6 +175,34 @@ object AnalyticsQueries {
         sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
       FROM lineitem GROUP BY l_linestatus"""))
 
+  /** Salted skew-safe join ≡ plain join (same oracle): the hot-key
+    * mitigation for joins that can't broadcast. */
+  private val saltedJoin = Q("q_skew_salted_join",
+    (s, dir) => {
+      val joined = SkewOps.saltedJoin(
+        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity"),
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        factKey = "l_suppkey", dimKey = "s_suppkey", salts = 8,
+        spreader = col("l_orderkey"))
+      joined.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    },
+    Some("""
+      SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey"""))
+
+  /** Approximate sketches (HLL distinct, approx quantiles): no
+    * cross-engine oracle exists for the approximations — rows-only check;
+    * exactness-bounded correctness is asserted in tests. */
+  private val sketches = Q("q_agg_approx_sketches",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median")),
+    None)
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
-    distinctCount, salted, topkAgg, percentiles)
+    distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles)
 }

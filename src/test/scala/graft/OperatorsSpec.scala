@@ -71,6 +71,19 @@ class OperatorsSpec extends SparkSuite {
     assert(!rep.ok && rep.srcMinusTgt == 1 && rep.tgtMinusSrc == 0)
   }
 
+  test("approx sketches stay within error bounds of exact answers") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val approx = SparkEntry.queries("q_agg_approx_sketches")(spark, sf)
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.1,
+        s"HLL off >10% for $k: ${approx(k)} vs $n")
+    }
+  }
+
   test("newKeysOnly matches NOT-IN-with-coalesce semantics") {
     val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val tgt = Seq(Some(1L), None).toDF("k2")

@@ -23,7 +23,7 @@ class QueriesSpec extends SparkSuite {
     val noOracle = names -- SparkEntry.oracleSql.keySet
     // only nested-output / flagship queries may omit the oracle
     assert(noOracle.subsetOf(Set("q_doc_assembly_nested", "q_flagship_pipeline",
-      "q_outbound_push")))
+      "q_outbound_push", "q_agg_approx_sketches")))
   }
 
   test("entry returns rows (driver t1 smoke)") {
