@@ -57,6 +57,20 @@ object PipelineQueries {
         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2"""))
 
+  /** foreachBatch streaming sink: stream → per-batch idempotent
+    * partitioned parquet → read back; oracle checks the full event set
+    * survived the trip (with the derived partition column). */
+  private val streamSink = Q("q_stream_foreachbatch_sink",
+    (s, dir) => graft.streaming.EventsStream.sinkViaForeachBatch(s, dir,
+      "/root/repo/target/stage/q_stream_foreachbatch_sink")
+      .select(col("event_id"), col("event_type"), col("value"),
+        // DATE dtypes diverge across engines in pandas; compare as string
+        col("event_date").cast("string").as("event_date")),
+    Some("""
+      SELECT event_id, event_type, value,
+        strftime(ts, '%Y-%m-%d') AS event_date
+      FROM events"""))
+
   /** Flagship pipeline over the query-arg scale factor (rows-only: output
     * is deeply nested). */
   private val flagship = Q("q_flagship_pipeline",
@@ -125,5 +139,5 @@ object PipelineQueries {
       FROM events GROUP BY event_type"""))
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
-    streamHourly, streamEnrich, streamDedup, flagship, outbound)
+    streamHourly, streamEnrich, streamDedup, streamSink, flagship, outbound)
 }

@@ -81,6 +81,34 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** foreachBatch sink: per-micro-batch idempotent parquet write — the
+    * production pattern for sinks Structured Streaming doesn't speak
+    * natively (JDBC, document stores): each batch is a normal DataFrame,
+    * written with dynamic partition overwrite so replayed batches are
+    * idempotent (`FULL:72`'s overwrite semantics, streaming edition). */
+  def sinkViaForeachBatch(spark: SparkSession, dir: String,
+      outPath: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_date")
+          .parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (users → nation decode via customer) — the streaming
     * analogue of the decode star. The static side is re-read per
