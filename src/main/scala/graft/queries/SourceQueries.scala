@@ -34,6 +34,35 @@ object SourceQueries {
         TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) % 10 AS k_bucket
       FROM events"""))
 
+  /** S7 (file-source form): JSON-lines roundtrip — write a projection as
+    * JSON, read it back with schema inference (the reference's
+    * REST-JSON → DataFrame lift, done at the file layer). */
+  private val jsonRoundtrip = Q("q_s7_json_roundtrip",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s7_json_roundtrip"
+      Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite").json(path)
+      s.read.json(path).select("event_id", "event_type", "value")
+    },
+    Some("SELECT event_id, event_type, value FROM events"))
+
+  /** S4 (staging form): CSV snapshot roundtrip — the BCP-style flat-file
+    * staging leg (reference runbook `BCP:37-101`): dump to CSV with
+    * header, re-ingest with schema inference, land as a snapshot. */
+  private val csvSnapshot = Q("q_s4_csv_snapshot",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s4_csv_snapshot"
+      Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        // inference narrows small ints — restore the table's exact types
+        .select(col("s_suppkey").cast("long"), col("s_name"),
+          col("s_nationkey").cast("int"), col("s_acctbal").cast("double"))
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"))
+
   /** S2 (full form): Hive-style partitioned overwrite via partitionBy —
     * the reference's dataset_date=/job_run_id= directory layout
     * (`FULL:72`, `PUSH:65`) — then read back through partition
@@ -133,6 +162,6 @@ object SourceQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(jsonLift, partSink, catalog, partitions, reconcile,
-    bucketed)
+  val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, partSink,
+    catalog, partitions, reconcile, bucketed)
 }
