@@ -105,6 +105,24 @@ object ParityQueries {
         strftime(o_orderdate, '%d/%m/%Y') AS order_day
       FROM orders"""))
 
+  /** F19: the reference's commented-out math/regex intent (`FULL:483-484`,
+    * rand/pow/replace) — pow and global regexp_replace are deterministic
+    * and oracle-checked; rand is partition-order-dependent and excluded
+    * per the SURVEY §7 non-determinism rule. */
+  private val f19 = Q("q_f19_math_regex",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        pow(col("p_size").cast("double"), 2.0).as("size_sq"),
+        sqrt(col("p_retailprice")).as("price_sqrt"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled")),
+    Some("""
+      SELECT p_partkey,
+        pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+        sqrt(p_retailprice) AS price_sqrt,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled
+      FROM part"""))
+
   // ---------------------------------------------------------------- F5
   /** CASE-WHEN recode ladders — the enum-recode workhorse
     * (`FULL:599-624`). */
@@ -653,7 +671,7 @@ object ParityQueries {
     None)
 
   val all: Seq[Q] = Seq(
-    s1, pShape, fScalar, fDatetime, f5,
+    s1, pShape, fScalar, fDatetime, f5, f19,
     j1, j2, typed, j3, j3r, j3e, j4, j6, a3,
     w1, w1s, w2, u1, u2, u3, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)
