@@ -15,6 +15,10 @@ object Delta {
     * key set), no correlated subquery. */
   def newKeysOnly(src: DataFrame, tgt: DataFrame, srcKey: String,
       tgtKey: String, nullSentinel: Column = lit("")): DataFrame = {
+    require(src.schema(srcKey).dataType == tgt.schema(tgtKey).dataType,
+      s"key type mismatch: $srcKey is ${src.schema(srcKey).dataType}, " +
+        s"$tgtKey is ${tgt.schema(tgtKey).dataType} — the coalesce-guarded " +
+        "anti join needs matching types or the sentinel comparison casts")
     val tgtKeys = tgt.select(coalesce(col(tgtKey), nullSentinel).as("__k")).distinct()
     src.join(tgtKeys, coalesce(src(srcKey), nullSentinel) === col("__k"), "left_anti")
   }

@@ -42,6 +42,9 @@ object DisjunctiveJoin {
     */
   def orJoinExact(left: DataFrame, right: DataFrame,
       disjuncts: Seq[(DataFrame, DataFrame) => Column]): DataFrame = {
+    require(disjuncts.nonEmpty, "OR-expansion needs at least one disjunct")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "orJoinExact requires disjoint column names between sides")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
     val outCols = leftCols ++ rightCols

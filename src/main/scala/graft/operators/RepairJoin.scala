@@ -41,6 +41,11 @@ object RepairJoin {
   def apply(base: DataFrame, baseKey: String, dim: DataFrame,
       dimCols: Seq[String], rounds: Seq[Cond], dedupOrder: Seq[Column],
       defaults: Map[String, Column]): DataFrame = {
+    require(rounds.nonEmpty, "repair ladder needs at least one round")
+    require(dimCols.nonEmpty, "repair ladder needs dim columns to attach")
+    require(base.columns.intersect(dimCols).isEmpty,
+      s"dim columns ${base.columns.intersect(dimCols).mkString(",")} collide with base columns")
+    require(base.columns.contains(baseKey), s"base lacks key column $baseKey")
     val baseCols = base.columns.toSeq
     val outCols = baseCols ++ dimCols
     val matchProbe = dimCols.head

@@ -28,6 +28,7 @@ object TopK {
 
   /** Top-k generalization (k=1 reproduces the reference pattern). */
   def topKPerKey(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
     val w = Window.partitionBy(keys: _*).orderBy(orderBy: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
