@@ -61,17 +61,29 @@ object Flagship {
         .withColumn("created_date", Scalars.ddMMyyyy(col("o_orderdate"))),
       Map("c_name" -> lit("UNKNOWN"), "c_mktsegment" -> lit("NA")))
 
-    // stage3-4 — cascading dealer repair ladder (FULL:738-1057).
+    // stage3-4 — lob split + cascading dealer repair ladders
+    // (FULL:710-1058): the reference runs a 5-round ladder for the Sales
+    // lob and a 3-round one for TV, then unionAlls the branches (U1).
+    // Here: DIRECT/DEALER channels get the 2-round ladder (tight key
+    // includes the nation match), everything else a 1-round ladder —
+    // different rungs per lob, reunited by name.
     val base = stage2.withColumn("k1", col("o_custkey") % 150)
-    val repaired = RepairJoin(base, "o_orderkey", supplier,
-      dimCols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    val dimCols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val dedupOrder = Seq(col("s_acctbal").desc, col("s_suppkey"))
+    val defaults = Map(
+      "s_suppkey" -> lit(-1L), "s_name" -> lit("DEFAULT"),
+      "s_nationkey" -> lit(-1), "s_acctbal" -> lit(0.0))
+    val salesLob = base.filter(col("channel").isin("DIRECT", "DEALER"))
+    val tvLob = base.filter(!col("channel").isin("DIRECT", "DEALER"))
+    val repairedSales = RepairJoin(salesLob, "o_orderkey", supplier, dimCols,
       rounds = Seq(
         (b, d) => d("s_suppkey") === b("k1") && d("s_nationkey") === b("c_nationkey"),
         (b, d) => d("s_suppkey") === b("k1")),
-      dedupOrder = Seq(col("s_acctbal").desc, col("s_suppkey")),
-      defaults = Map(
-        "s_suppkey" -> lit(-1L), "s_name" -> lit("DEFAULT"),
-        "s_nationkey" -> lit(-1), "s_acctbal" -> lit(0.0)))
+      dedupOrder, defaults)
+    val repairedTv = RepairJoin(tvLob, "o_orderkey", supplier, dimCols,
+      rounds = Seq((b, d) => d("s_suppkey") === b("k1")),
+      dedupOrder, defaults)
+    val repaired = repairedSales.unionByName(repairedTv)
 
     // stage5+ — model/variant master joins with ambiguous-name suffixing
     // (FULL:1061-1180, J5/J6): part plays the model master; duplicate
