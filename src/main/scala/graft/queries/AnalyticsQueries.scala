@@ -175,6 +175,36 @@ object AnalyticsQueries {
         sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
       FROM lineitem GROUP BY l_linestatus"""))
 
+  /** As-of join: each click enriched with the user's latest prior signup
+    * — Spark lacks the operator; composed via union + carry-forward
+    * window (AsOfJoin.latestPrior). The oracle uses DuckDB's NATIVE
+    * ASOF LEFT JOIN, so the composition is checked against a first-class
+    * implementation of the semantics. */
+  private val asof = Q("q_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"), col("ts"),
+          col("value").as("signup_value"))
+      graft.operators.AsOfJoin.latestPrior(clicks, signups,
+        key = "user_id", ts = "ts", leftId = "event_id",
+        rightCols = Seq("signup_id", "signup_value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_signup_id").as("signup_id"),
+          col("asof_signup_value").as("signup_value"))
+    },
+    Some("""
+      WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'click'),
+           signups AS (SELECT event_id AS signup_id, user_id, ts,
+                         value AS signup_value
+                       FROM events WHERE event_type = 'signup')
+      SELECT c.event_id, c.user_id, s.signup_id, s.signup_value
+      FROM clicks c ASOF LEFT JOIN signups s
+        ON c.user_id = s.user_id AND s.ts <= c.ts"""))
+
   /** Salted skew-safe join ≡ plain join (same oracle): the hot-key
     * mitigation for joins that can't broadcast. */
   private val saltedJoin = Q("q_skew_salted_join",
@@ -204,5 +234,5 @@ object AnalyticsQueries {
     None)
 
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
-    distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles)
+    distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof)
 }

@@ -71,6 +71,20 @@ class OperatorsSpec extends SparkSuite {
     assert(!rep.ok && rep.srcMinusTgt == 1 && rep.tgtMinusSrc == 0)
   }
 
+  test("as-of join: <= inclusion, latest-wins, null when no prior row") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, t(100), 10L), (1L, t(50), 11L), (2L, t(100), 20L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, t(100), 91L), (1L, t(60), 92L), (3L, t(10), 93L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.latestPrior(left, right, "k", "ts", "lid", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(91L)) // equal ts matches (<=), latest wins over t(60)
+    assert(out(11L).isEmpty)       // only future right rows exist at t(50)
+    assert(out(20L).isEmpty)       // key has no right rows at all
+  }
+
   test("approx sketches stay within error bounds of exact answers") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val approx = SparkEntry.queries("q_agg_approx_sketches")(spark, sf)
