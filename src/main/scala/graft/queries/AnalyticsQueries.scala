@@ -233,6 +233,45 @@ object AnalyticsQueries {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median")),
     None)
 
+  /** Keyed range join: every event lands in exactly one of its user's
+    * sessions (intervals from the sessionizer) — equi-join on user with
+    * the range as residual, aggregated to events-per-session. */
+  private val rangeJoin = Q("q_range_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
+      val sessions = Sessionize.batch(Tables.load(s, dir, "events"))
+      graft.operators.RangeJoin.keyedInterval(ev, sessions,
+        key = "user_id", ts = "ts",
+        startCol = "session_start", endCol = "session_end")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_joined"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns,
+          event_id
+        FROM l),
+      se AS (
+        SELECT user_id, ts,
+          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f),
+      sessions AS (
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+        FROM se GROUP BY user_id, session_id)
+      SELECT e.user_id, s.session_id, count(*) AS n_joined
+      FROM events e JOIN sessions s
+        ON e.user_id = s.user_id
+       AND e.ts >= s.session_start AND e.ts <= s.session_end
+      GROUP BY e.user_id, s.session_id"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
-    distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof)
+    distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
+    rangeJoin)
 }
