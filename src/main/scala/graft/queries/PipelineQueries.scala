@@ -71,6 +71,21 @@ object PipelineQueries {
         strftime(ts, '%Y-%m-%d') AS event_date
       FROM events"""))
 
+  /** Stream-stream join (watermarked both sides, time-range-bounded
+    * state) — oracle is the equivalent batch join. */
+  private val streamStream = Q("q_stream_stream_join",
+    (s, dir) => graft.streaming.EventsStream.streamStreamJoin(s, dir),
+    Some("""
+      WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                      FROM events WHERE event_type = 'click'),
+           signups AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+                       FROM events WHERE event_type = 'signup')
+      SELECT c.click_id, c.user_id, s.signup_id
+      FROM clicks c JOIN signups s
+        ON c.user_id = s.user_id
+       AND c.click_ts >= s.signup_ts
+       AND c.click_ts <= s.signup_ts + INTERVAL 1 HOUR"""))
+
   /** Flagship pipeline over the query-arg scale factor (rows-only: output
     * is deeply nested). */
   private val flagship = Q("q_flagship_pipeline",
@@ -139,5 +154,6 @@ object PipelineQueries {
       FROM events GROUP BY event_type"""))
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
-    streamHourly, streamEnrich, streamDedup, streamSink, flagship, outbound)
+    streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
+    flagship, outbound)
 }

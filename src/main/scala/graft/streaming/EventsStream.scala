@@ -81,6 +81,42 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stream-stream join: clicks joined to the same user's signups within
+    * one hour after the signup — both sides are streams with watermarks,
+    * and the time-range condition bounds the join state Spark must hold
+    * (without it, stream-stream state grows forever). Semantically equal
+    * to the batch join with the same predicate — the oracle. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_stream_out"
+    def side(eventType: String, idAs: String, tsAs: String) =
+      spark.readStream
+        .schema(eventsSchema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(dir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "click_id", "click_ts")
+    val signups = side("signup", "signup_id", "signup_ts")
+      .withColumnRenamed("user_id", "s_user_id")
+    val joined = clicks.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+      "inner")
+      .select(col("click_id"), col("user_id"), col("signup_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** foreachBatch sink: per-micro-batch idempotent parquet write — the
     * production pattern for sinks Structured Streaming doesn't speak
     * natively (JDBC, document stores): each batch is a normal DataFrame,
