@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import scala.collection.mutable.ListBuffer
+
+/** Cache lifecycle for library-internal persists.
+  *
+  * Several operators persist intermediates whose lineage is consumed more
+  * than once (RepairJoin round frames, Knn.prepared, the MinHash/SimHash
+  * signature frames, surrogate-key partition frames — the last is
+  * correctness-critical, see TopK.surrogateKeyScalable). A library must
+  * not leak those cached partitions into a long-lived embedding session,
+  * so persists route through `CacheScope.persist`, which registers the
+  * frame with the innermost active `scoped` block; the block unpersists
+  * everything it registered when it exits. With no scope active the
+  * behavior is a plain `persist()` (caller manages, e.g. via
+  * `spark.catalog.clearCache()`).
+  *
+  * Contract: materialize every consumer of the returned DataFrame INSIDE
+  * the scope — after the scope exits, re-evaluating a plan that contained
+  * a correctness-critical persist (surrogateKeyScalable) may recompute
+  * nondeterministically.
+  */
+object CacheScope {
+
+  private val current = new ThreadLocal[ListBuffer[DataFrame]]
+
+  /** Persist `df` and register it with the innermost scope, if any. */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist()
+    val scope = current.get()
+    if (scope != null) scope += df
+    df
+  }
+
+  /** Run `body`; on exit unpersist every frame the library persisted
+    * within (scopes nest — an inner scope only releases its own). */
+  def scoped[T](body: => T): T = {
+    val outer = current.get()
+    val mine = ListBuffer.empty[DataFrame]
+    current.set(mine)
+    try body
+    finally {
+      if (outer == null) current.remove() else current.set(outer)
+      mine.foreach(_.unpersist(blocking = false))
+    }
+  }
+}

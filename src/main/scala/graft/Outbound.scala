@@ -21,7 +21,7 @@ object Outbound {
       stagePath: String = "/root/repo/target/stage/outbound"): PushResult = {
     // the pipeline output feeds the delta's both sides + validation:
     // persist instead of re-running the whole build per consumer
-    val prospects = Flagship.prospectPipeline(spark, dir).persist()
+    val prospects = CacheScope.persist(Flagship.prospectPipeline(spark, dir))
 
     // runtime schema introspection before trusting the target collection
     // (`if 'leadid' in df_docdb.columns`, PUSH:206)

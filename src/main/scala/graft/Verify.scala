@@ -1,9 +1,30 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hex, to_json}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** No-oracle (rows-only) queries may return nested struct/array columns;
+    * the driver's pandas `sort_values` over such columns raises
+    * "unhashable type: dict" and the query logs an error instead of a
+    * rows-only pass. Canonicalize: JSON-encode complex columns and
+    * hex-encode binary so every dumped column is a sortable scalar.
+    * Oracle-checked queries are dumped as-is (their shape is part of the
+    * hash contract). */
+  private[graft] def canonicalizable(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _: BinaryType => hex(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,8 +39,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try CacheScope.scoped {
+        val df = fn(spark, sfDir)
+        val out = if (SparkEntry.oracleSql.contains(name)) df
+                  else canonicalizable(df)
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

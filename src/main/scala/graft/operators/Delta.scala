@@ -9,8 +9,12 @@ object Delta {
 
   /** P9/J7: "only new keys" delta — the reference writes
     * `leadid not in (select coalesce(leadid,'') from tgt)` (`PUSH:214`),
-    * pre-coalescing to dodge NOT IN's three-valued null semantics. The
-    * faithful-and-scalable form is a left anti join on the coalesced key:
+    * pre-coalescing the TARGET side to dodge NOT IN's null poisoning
+    * (one NULL in the subquery makes NOT IN never-true). The source side
+    * is NOT coalesced, so three-valued logic still applies to it: a NULL
+    * src key yields `NULL NOT IN (…)` = NULL and the row is dropped. The
+    * faithful-and-scalable form is therefore a not-null filter on the src
+    * key plus a left anti join against the coalesced target key set:
     * shuffles both sides on the key once (or broadcasts a small target
     * key set), no correlated subquery. */
   def newKeysOnly(src: DataFrame, tgt: DataFrame, srcKey: String,
@@ -20,7 +24,8 @@ object Delta {
         s"$tgtKey is ${tgt.schema(tgtKey).dataType} — the coalesce-guarded " +
         "anti join needs matching types or the sentinel comparison casts")
     val tgtKeys = tgt.select(coalesce(col(tgtKey), nullSentinel).as("__k")).distinct()
-    src.join(tgtKeys, coalesce(src(srcKey), nullSentinel) === col("__k"), "left_anti")
+    src.filter(src(srcKey).isNotNull)
+      .join(tgtKeys, src(srcKey) === col("__k"), "left_anti")
   }
 
   /** U2 + §5: the reference's reconciliation block (`PUSH:369-457`) as a

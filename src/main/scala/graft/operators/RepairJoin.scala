@@ -33,9 +33,11 @@ object RepairJoin {
     * @param dimCols    dim columns to carry onto the fact
     * @param rounds     join conditions, tightest first
     * @param dedupOrder per-round top-1 ordering over the joined frame
-    *                   (reference: dim recency desc); a unique tiebreak is
-    *                   appended on `baseKey` + first dim col for
-    *                   determinism
+    *                   (reference: dim recency desc); all `dimCols` are
+    *                   appended (asc) as tiebreaks, so the order is total
+    *                   per key whenever any dim column combination is
+    *                   unique per dim row — `baseKey` itself is the window
+    *                   partition key and would be a no-op tiebreak
     * @param defaults   dimCol → literal default for never-matched rows
     */
   def apply(base: DataFrame, baseKey: String, dim: DataFrame,
@@ -60,9 +62,12 @@ object RepairJoin {
         baseCols.map(c => col(s"b.$c")) ++ dimCols.map(c => col(s"d.$c")): _*)
       // persist: the matched/unmatched split reads this twice and the
       // final union re-executes every branch — without it each round's
-      // join+window pipeline is recomputed ~3×
-      val deduped = TopK.top1PerKey(selected, Seq(col(baseKey)),
-        dedupOrder :+ col(baseKey)).persist()
+      // join+window pipeline is recomputed ~3× (scope-managed persist).
+      // Tiebreak on the dim columns: within a window partition baseKey is
+      // constant, so only dim-side columns can break dedupOrder ties.
+      val deduped = graft.CacheScope.persist(
+        TopK.top1PerKey(selected, Seq(col(baseKey)),
+          dedupOrder ++ dimCols.map(col)))
       branches ::= deduped.filter(col(matchProbe).isNotNull)
       current = deduped.filter(col(matchProbe).isNull).select(baseCols.map(col): _*)
     }

@@ -57,11 +57,10 @@ object TopK {
     // join both consume this frame, and two independent evaluations may
     // pick different sampled range boundaries / AQE-coalesced partition
     // counts — inconsistent __pid spaces silently drop or duplicate rows
-    val withLocal = ranged
+    val withLocal = graft.CacheScope.persist(ranged
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
-        row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCol)))
-      .persist()
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCol))))
     val offsets = withLocal.groupBy(col("__pid")).count()
       .withColumn("__offset",
         coalesce(sum(col("count")).over(

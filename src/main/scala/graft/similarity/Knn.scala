@@ -29,9 +29,9 @@ object Knn {
   def prepared(emb: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
-    emb.select(col(idCol), col(embCol).cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr("dot_f64(e, e)")))
-      .persist() // query + corpus sides share this lineage
+    graft.CacheScope.persist( // query + corpus sides share this lineage
+      emb.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(expr("dot_f64(e, e)"))))
   }
 
   /** Codegen-native dot product (same left-to-right summation order as

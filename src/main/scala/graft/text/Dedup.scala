@@ -62,9 +62,10 @@ object Dedup {
     }
     // persist: both sides of the self-join share this lineage — without
     // it Spark recomputes the shingle+minhash pipeline per side
-    val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
-      .persist()
+    // (scope-managed: released by the enclosing CacheScope.scoped)
+    val exploded = graft.CacheScope.persist(
+      sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_val")))
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     a.join(b,
@@ -80,7 +81,8 @@ object Dedup {
     * frequency-capped shingles, then exact Jaccard on the full shingle
     * sets of candidates only. */
   def jaccardPairs(sh0: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
-    val sh = sh0.persist() // reused 4× (sizes, df, both join sides)
+    // reused 4× (sizes, df, both join sides); scope-managed persist
+    val sh = graft.CacheScope.persist(sh0)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // single inverted-index pass: count shared shingles per pair AND
@@ -124,7 +126,7 @@ object Dedup {
     * pairs within Hamming distance 6 share a byte with high probability),
     * verified with exact bit_count(xor). */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sh.persist().select(col("doc_id"), col("simhash"),
+    val banded = graft.CacheScope.persist(sh).select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_idx"),
           (shiftright(col("simhash"), k * 8) % 256).as("band_val"))): _*)).as("b"))
