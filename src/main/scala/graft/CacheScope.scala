@@ -24,7 +24,13 @@ import scala.collection.mutable.ListBuffer
   */
 object CacheScope {
 
-  private val current = new ThreadLocal[ListBuffer[DataFrame]]
+  // Inheritable so persists issued from driver-side worker threads
+  // (Futures forked inside a scoped block) still register with the
+  // enclosing scope instead of silently leaking. Threads forked BEFORE
+  // the scope opened still escape — the documented convention stands:
+  // materialize every consumer inside the scope, on the scope's thread
+  // or one it forked.
+  private val current = new InheritableThreadLocal[ListBuffer[DataFrame]]
 
   /** Persist `df` and register it with the innermost scope, if any. */
   def persist(df: DataFrame): DataFrame = {

@@ -15,12 +15,14 @@ object Verify {
     * Oracle-checked queries are dumped as-is (their shape is part of the
     * hash contract). */
   private[graft] def canonicalizable(df: DataFrame): DataFrame = {
+    // df(f.name), not col(f.name): a top-level name containing a dot
+    // would misresolve as a nested path under the unqualified resolver
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType =>
-          to_json(col(f.name)).as(f.name)
-        case _: BinaryType => hex(col(f.name)).as(f.name)
-        case _ => col(f.name)
+          to_json(df(f.name)).as(f.name)
+        case _: BinaryType => hex(df(f.name)).as(f.name)
+        case _ => df(f.name)
       }
     }
     df.select(cols.toSeq: _*)

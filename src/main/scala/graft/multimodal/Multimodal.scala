@@ -49,13 +49,22 @@ object Multimodal {
 
   /** Frame sampling: slice the payload into fixed-size frames (the video
     * frame-sample analog) — pure expression work (sequence + transform +
-    * posexplode), so it stays columnar and shuffle-free at any scale. */
+    * explode), so it stays columnar and shuffle-free at any scale.
+    *
+    * Edge semantics: an EMPTY payload yields ZERO frames — the trailing
+    * `filter(f.idx * frameBytes < n_bytes)` drops the phantom frame that
+    * `sequence(0, (0-1) DIV k) = [0]` would otherwise emit (and is a
+    * no-op for every non-empty payload, whose last frame always starts
+    * before n_bytes). Frames are BYTE slices of the binary payload; the
+    * DuckDB oracle slices characters, so fixtures must stay ASCII
+    * (asserted in tests) — byte- and char-slicing coincide there. */
   def sampleFrames(media: DataFrame, frameBytes: Int): DataFrame =
     media
       .select(col("media_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
       .withColumn("frame", explode(expr(
-        s"transform(sequence(0, CAST((n_bytes - 1) DIV $frameBytes AS INT)), " +
-          s"i -> struct(i AS idx, substring(payload, i * $frameBytes + 1, $frameBytes) AS bytes))")))
+        s"filter(transform(sequence(0, CAST((n_bytes - 1) DIV $frameBytes AS INT)), " +
+          s"i -> struct(i AS idx, substring(payload, i * $frameBytes + 1, $frameBytes) AS bytes)), " +
+          s"f -> f.idx * $frameBytes < n_bytes)")))
       .select(col("media_id"),
         col("frame.idx").cast("long").as("frame_idx"),
         length(col("frame.bytes")).cast("long").as("frame_len"),

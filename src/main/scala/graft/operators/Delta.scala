@@ -16,7 +16,16 @@ object Delta {
     * faithful-and-scalable form is therefore a not-null filter on the src
     * key plus a left anti join against the coalesced target key set:
     * shuffles both sides on the key once (or broadcasts a small target
-    * key set), no correlated subquery. */
+    * key set), no correlated subquery.
+    *
+    * Known divergence, by choice: when the TARGET is EMPTY, SQL
+    * `x NOT IN (empty)` is TRUE for every row including NULL x, so the
+    * reference would keep NULL-key rows on a first run against an empty
+    * collection; this form drops them unconditionally. A delta keyed on
+    * NULL is never re-identifiable on the next run (NULL keys can't match
+    * the target either), so dropping is the stable semantics — callers
+    * that must ingest keyless rows on bootstrap should union them in
+    * explicitly rather than depend on the empty-target edge. */
   def newKeysOnly(src: DataFrame, tgt: DataFrame, srcKey: String,
       tgtKey: String, nullSentinel: Column = lit("")): DataFrame = {
     require(src.schema(srcKey).dataType == tgt.schema(tgtKey).dataType,

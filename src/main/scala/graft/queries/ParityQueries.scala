@@ -39,6 +39,21 @@ object ParityQueries {
         AND o_orderstatus <> 'P'
         AND o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')"""))
 
+  // ---------------------------------------------------------------- O2
+  /** O2: deterministic bounded output (`FULL:1442` limit, `PUSH:348`
+    * show(n)) — orderBy on a unique key + limit plans as a
+    * TakeOrderedAndProject: per-partition top-N then a driver merge of N
+    * rows per partition, never a global sort materialization. */
+  private val o2Limit = Q("q_o2_limit",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_orderkey LIMIT 100"""))
+
   // ---------------------------------------------------------------- P1-P4/F9
   /** Projection shaping: select/rename/derive/drop + typed null literal
     * (`FULL:262-267,510-593`). */
@@ -671,7 +686,7 @@ object ParityQueries {
     None)
 
   val all: Seq[Q] = Seq(
-    s1, pShape, fScalar, fDatetime, f5, f19,
+    s1, o2Limit, pShape, fScalar, fDatetime, f5, f19,
     j1, j2, typed, j3, j3r, j3e, j4, j6, a3,
     w1, w1s, w2, u1, u2, u3, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)

@@ -97,7 +97,9 @@ object SourceQueries {
     * (`PUSH:175-184`). */
   private val partitions = Q("q_s9_show_partitions",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s2_partitioned_sink"
+      // own stage path — sharing q_s2_partitioned_sink's directory would
+      // be an ordering hazard if queries ever ran concurrently
+      val path = "/root/repo/target/stage/q_s9_show_partitions"
       Sinks.writePartitioned(
         Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),

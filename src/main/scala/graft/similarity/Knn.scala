@@ -122,8 +122,16 @@ object Knn {
   }
 
   /** Embedding-cosine near-dup pairs within buckets (the scale path: the
-    * bucket equi-join shards the quadratic work). */
-  def similarPairs(emb: DataFrame, nBits: Int, threshold: Double): DataFrame = {
+    * bucket equi-join shards the quadratic work).
+    *
+    * Scale note: work is quadratic WITHIN a bucket — expected cost is
+    * O(n²/2^nBits) for n vectors under uniform signs, so `nBits` must
+    * grow with the corpus: 8 bits (256 buckets) is a test-scale setting;
+    * at 10⁹+ vectors use 16-20 bits, or band like `Dedup.simhashPairs`
+    * (several independent small projections OR'd together) to recover the
+    * recall a single wide projection loses. The fixtures pass nBits
+    * explicitly; the default here is sized for large corpora. */
+  def similarPairs(emb: DataFrame, nBits: Int = 16, threshold: Double): DataFrame = {
     val p = prepared(emb).withColumn("bucket", signBucket(col("e"), nBits))
     val a = p.select(col("vec_id").as("va"), col("e").as("qe"),
       col("nrm").as("qn"), col("bucket"))

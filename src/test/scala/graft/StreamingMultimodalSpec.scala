@@ -30,4 +30,29 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() == 0)
     assert(feats.filter(col("mean_byte") <= 0 || col("mean_byte") >= 256).count() == 0)
   }
+
+  test("multimodal: frame sampling edge payloads (empty → zero frames; non-ascii → byte slices)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "", "xx", "synthetic"),              // empty payload
+      (2L, "héllo wörld, ünïcode bytes!", "xx", "synthetic"), // non-ascii
+      (3L, "a" * 130, "en", "synthetic")        // 3 frames: 64+64+2
+    ).toDF("doc_id", "text", "lang", "source")
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), frameBytes = 64)
+      .collect().groupBy(_.getLong(0))
+    // empty payload emits ZERO frames (DuckDB range() semantics), not one
+    assert(!frames.contains(1L))
+    // frames slice BYTES: the utf-8 payload is longer in bytes than chars
+    val nonAscii = frames(2L)
+    val byteLen = "héllo wörld, ünïcode bytes!".getBytes("UTF-8").length
+    assert(nonAscii.map(_.getLong(2)).sum == byteLen)
+    assert(frames(3L).map(r => r.getLong(1) -> r.getLong(2)).sorted.toSeq ==
+      Seq(0L -> 64L, 1L -> 64L, 2L -> 2L))
+  }
+
+  test("multimodal: q_mm fixtures are ascii (oracle slices chars, engine slices bytes)") {
+    val docs = Tables.load(spark, sf, "documents")
+    assert(docs.filter(length(col("text")) =!=
+      length(col("text").cast("binary"))).count() == 0)
+  }
 }
