@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Runs every registered query `SPARK_GRAFT_REPS` times
+  * (default 3) and reports the per-query MEDIAN: a single run on a
+  * load-variable box has ±2× per-query variance, which made earlier
+  * rounds' regressions unadjudicable. Reps are rep-major (a full pass
+  * over all queries per rep) so drifting box load spreads across queries
+  * instead of concentrating in one query's reps.
+  *
+  * Output: the driver's one-line JSON on stdout (total = sum of medians)
+  * plus the complete artifact — per-rep times included — at
+  * target/bench.json (the driver's line capture truncates the head of
+  * long lines, which cost rounds 1-3 their first ~19 queries).
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,29 +34,51 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // a broken query must never subsidize the total: it reports as null
-    // in `queries` plus an entry in `errors`, instead of a negative time
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // name -> (per-rep seconds for successful reps, first error if any)
+    val runs: Seq[(String, Seq[Double], Option[String])] = {
+      val raw = (1 to reps).map { _ =>
+        names.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop caches so one query's persisted lineage can't subsidize
+          // the next query's timing
+          spark.catalog.clearCache()
+          (name, dt, err)
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches so one query's persisted lineage can't subsidize the
-      // next query's timing
-      spark.catalog.clearCache()
-      (name, dt, err)
+      names.map { case (name, _) =>
+        val mine = raw.map(_.find(_._1 == name).get)
+        (name, mine.collect { case (_, dt, None) => dt },
+          mine.collectFirst { case (_, _, Some(m)) => m })
+      }
     }
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isEmpty) v.toString else "null")
+    // a broken query must never subsidize the total: no successful rep →
+    // null in `queries` plus an entry in `errors`
+    val qs = runs.map { case (k, ts, _) =>
+      Verify.jsonString(k) + ":" + (if (ts.nonEmpty) median(ts).toString else "null")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val errs = runs.collect { case (k, _, Some(m)) =>
+      Verify.jsonString(k) + ":" + Verify.jsonString(m)
     }.mkString("{", ",", "}")
-    val total = results.filter(_._3.isEmpty).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.nonEmpty)},"sf":"$sfDir"}""")
+    val total = runs.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
+    val nErrors = runs.count { case (_, ts, _) => ts.isEmpty }
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"errors":$errs,"n_errors":$nErrors,"sf":"$sfDir"}"""
+    // complete artifact, immune to line truncation: medians + every rep
+    val perRep = runs.map { case (k, ts, _) =>
+      Verify.jsonString(k) + ":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench.json"),
+      line.dropRight(1) + s""","per_rep":$perRep}""")
+    println(line)
     spark.stop()
   }
 }

@@ -24,19 +24,34 @@ import scala.collection.mutable.ListBuffer
   */
 object CacheScope {
 
+  // One scope's registrations plus a closed flag: pool threads created
+  // while a scope was open inherit the reference forever, so a reused
+  // thread could otherwise register into a scope that already exited and
+  // the frame would never be unpersisted. Appends and the close are
+  // synchronized on the scope — concurrent persists from Futures forked
+  // inside the block are the endorsed use case.
+  private final class Scope {
+    val frames = ListBuffer.empty[DataFrame]
+    var closed = false
+  }
+
   // Inheritable so persists issued from driver-side worker threads
   // (Futures forked inside a scoped block) still register with the
   // enclosing scope instead of silently leaking. Threads forked BEFORE
   // the scope opened still escape — the documented convention stands:
   // materialize every consumer inside the scope, on the scope's thread
   // or one it forked.
-  private val current = new InheritableThreadLocal[ListBuffer[DataFrame]]
+  private val current = new InheritableThreadLocal[Scope]
 
-  /** Persist `df` and register it with the innermost scope, if any. */
+  /** Persist `df` and register it with the innermost scope, if any.
+    * A closed scope (inherited by a pool thread that outlived the block)
+    * behaves like no scope: plain persist, caller manages. */
   def persist(df: DataFrame): DataFrame = {
     df.persist()
     val scope = current.get()
-    if (scope != null) scope += df
+    if (scope != null) scope.synchronized {
+      if (!scope.closed) scope.frames += df
+    }
     df
   }
 
@@ -44,12 +59,16 @@ object CacheScope {
     * within (scopes nest — an inner scope only releases its own). */
   def scoped[T](body: => T): T = {
     val outer = current.get()
-    val mine = ListBuffer.empty[DataFrame]
+    val mine = new Scope
     current.set(mine)
     try body
     finally {
       if (outer == null) current.remove() else current.set(outer)
-      mine.foreach(_.unpersist(blocking = false))
+      val registered = mine.synchronized {
+        mine.closed = true
+        mine.frames.toList
+      }
+      registered.foreach(_.unpersist(blocking = false))
     }
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -92,6 +93,162 @@ object PipelineQueries {
     (s, dir) => graft.Flagship.prospectPipeline(s, dir),
     None)
 
+  /** Flatten the flagship document to scalars: every struct field except
+    * the non-deterministic audit.snapshotTs, plus the questionnaire
+    * probes of `q_doc_assembly_flat`. This is what makes the EP1
+    * composition hash-checkable end-to-end. */
+  private def flattenDoc(doc: DataFrame): DataFrame = doc.select(
+    col("prospect_id"),
+    col("leadid"),
+    col("administration.channel").as("admin_channel"),
+    col("administration.createdDate").as("created_date"),
+    col("administration.sourceCode").as("source_code"),
+    col("customerDetails.name").as("cust_name"),
+    col("customerDetails.segment").as("cust_segment"),
+    col("customerDetails.nation").as("nation_name"),
+    col("customerDetails.region").as("region_name"),
+    col("customerDetails.balance").as("balance"),
+    col("dealerDetails.dealerCode").cast("long").as("dealer_code"),
+    col("dealerDetails.dealerName").as("dealer_name"),
+    col("dealerDetails.dealerScore").as("dealer_score"),
+    col("purchaseDetails.totalPrice").as("total_price"),
+    col("purchaseDetails.status").as("status"),
+    col("purchaseDetails.prospectType").as("prospect_type"),
+    col("vehicleDetails.modelDesc").as("model_desc"),
+    col("vehicleDetails.modelCode").as("model_code"),
+    col("vehicleDetails.variantDesc").as("variant_desc"),
+    col("vehicleDetails.queryDescription").as("query_description"),
+    col("enrollmentDetails.interests").getItem(0).getField("questionId")
+      .as("q0_id"),
+    col("enrollmentDetails.interests").getItem(1).getField("response")
+      .getItem(1).as("q1_resp2"),
+    col("enrollmentDetails").isNull.as("enrollment_null"))
+
+  /** DuckDB twin of the whole flagship build (`FULL:188-1450` as composed
+    * in Flagship.scala). The repair ladder and model-master joins never
+    * fan out on this star (s_suppkey / p_partkey are unique), so each
+    * ladder collapses to per-column coalesce across its rounds'
+    * left-join results; the scalable surrogate key over unique
+    * o_orderkey equals a global row_number (the equivalence
+    * q_w1_surrogate_scalable already hash-proves). `where` lets the
+    * outbound twin filter AFTER prospect_id assignment, matching the
+    * delta running over the keyed pipeline output. */
+  private def flagshipFlatSql(where: String): String = s"""
+    WITH sm AS (
+      SELECT 'nation_name' AS attributename,
+             CAST(n_nationkey AS VARCHAR) AS av, n_name AS val FROM nation
+      UNION ALL
+      SELECT 'region_name', CAST(r_regionkey AS VARCHAR), r_name FROM region),
+    s1 AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             o.o_orderdate, o.o_orderpriority,
+             coalesce(c.c_name, 'UNKNOWN') AS c_name,
+             c.c_nationkey,
+             coalesce(c.c_mktsegment, 'NA') AS c_mktsegment,
+             c.c_acctbal,
+             nm.val AS nation_name, rm.val AS region_name
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN (SELECT DISTINCT av, val FROM sm
+                 WHERE attributename = 'nation_name') nm
+        ON CAST(c.c_nationkey AS VARCHAR) = nm.av
+      LEFT JOIN (SELECT DISTINCT av, val FROM sm
+                 WHERE attributename = 'region_name') rm
+        ON CAST(n.n_regionkey AS VARCHAR) = rm.av),
+    s2 AS (
+      SELECT *,
+        CASE o_orderpriority WHEN '1-URGENT' THEN 'DIRECT'
+          WHEN '2-HIGH' THEN 'DEALER' WHEN '3-MEDIUM' THEN 'WEB'
+          ELSE 'OTHER' END AS channel0,
+        CASE o_orderstatus WHEN 'F' THEN 'CLOSED' WHEN 'O' THEN 'OPEN'
+          ELSE 'PENDING' END AS prospect_type,
+        strftime(o_orderdate, '%d/%m/%Y') AS created_date,
+        o_custkey % 150 AS k1
+      FROM s1),
+    rep AS (
+      SELECT s2.*,
+        CASE WHEN s2.channel0 IN ('DIRECT','DEALER')
+             THEN coalesce(sa.s_suppkey, sb.s_suppkey, -1)
+             ELSE coalesce(sb.s_suppkey, -1) END AS s_suppkey,
+        CASE WHEN s2.channel0 IN ('DIRECT','DEALER')
+             THEN coalesce(sa.s_name, sb.s_name, 'DEFAULT')
+             ELSE coalesce(sb.s_name, 'DEFAULT') END AS s_name,
+        CASE WHEN s2.channel0 IN ('DIRECT','DEALER')
+             THEN coalesce(sa.s_acctbal, sb.s_acctbal, 0.0)
+             ELSE coalesce(sb.s_acctbal, 0.0) END AS s_acctbal
+      FROM s2
+      LEFT JOIN supplier sa
+        ON sa.s_suppkey = s2.k1 AND sa.s_nationkey = s2.c_nationkey
+      LEFT JOIN supplier sb ON sb.s_suppkey = s2.k1),
+    dup AS (SELECT p_name AS dup_name FROM part
+            GROUP BY 1 HAVING count(*) > 1),
+    mm AS (
+      SELECT p_partkey,
+        CASE WHEN d.dup_name IS NOT NULL
+             THEN p.p_name || '-' || CAST(p.p_partkey AS VARCHAR)
+             ELSE p.p_name END AS model_desc,
+        p_brand AS model_code, p_type AS variant_desc
+      FROM part p LEFT JOIN dup d ON p.p_name = d.dup_name),
+    s5 AS (
+      SELECT rep.*, mm.model_desc AS md0, mm.model_code,
+             mm.variant_desc AS vd0
+      FROM rep LEFT JOIN mm ON rep.o_orderkey % 2000 = mm.p_partkey),
+    s6 AS (
+      SELECT *,
+        CASE WHEN channel0 = 'OTHER'
+               AND c_mktsegment IN ('AUTOMOBILE','MACHINERY')
+             THEN 'DEALER' ELSE channel0 END AS channel,
+        coalesce(md0, 'UNKNOWN-MODEL') AS model_desc,
+        coalesce(vd0, 'STD') AS variant_desc
+      FROM s5),
+    s7 AS (
+      SELECT *,
+        substr(concat_ws(' | ', prospect_type, nation_name, model_desc,
+          s_name), 1, 2000) AS query_description,
+        'PM' || lpad(CAST(row_number() OVER (ORDER BY o_orderkey)
+          AS VARCHAR), 9, '0') AS prospect_id
+      FROM s6)
+    SELECT prospect_id,
+      CAST(o_orderkey AS VARCHAR) AS leadid,
+      channel AS admin_channel,
+      created_date,
+      o_orderpriority AS source_code,
+      c_name AS cust_name,
+      c_mktsegment AS cust_segment,
+      nation_name, region_name,
+      c_acctbal AS balance,
+      CAST(s_suppkey AS BIGINT) AS dealer_code,
+      s_name AS dealer_name,
+      s_acctbal AS dealer_score,
+      o_totalprice AS total_price,
+      o_orderstatus AS status,
+      prospect_type,
+      model_desc, model_code, variant_desc, query_description,
+      CASE WHEN o_orderstatus = 'O' THEN NULL ELSE 'QM004' END AS q0_id,
+      CASE WHEN o_orderstatus = 'O' THEN NULL
+           ELSE coalesce(o_orderstatus, '') END AS q1_resp2,
+      (o_orderstatus = 'O') AS enrollment_null
+    FROM s7 $where"""
+
+  /** EP1 end-to-end, hash-checked: the flagship output flattened to
+    * scalars against the full DuckDB reproduction. A stage-wiring bug
+    * anywhere in the composition (wrong join key, dropped branch,
+    * ladder-rung order) now fails the gate instead of passing rows-only. */
+  private val flagshipFlat = Q("q_flagship_flat",
+    (s, dir) => flattenDoc(graft.Flagship.prospectPipeline(s, dir)),
+    Some(flagshipFlatSql("")))
+
+  /** EP2's delta semantics, hash-checked: the staged outbound docs
+    * (only-new anti join over the flagship, `PUSH:207-224`) flattened and
+    * compared to the flagship twin filtered to odd lead keys — the
+    * fixture's docdb holds the even ones. prospect_id is assigned BEFORE
+    * the delta, so the twin filters after the window. */
+  private val outboundFlat = Q("q_outbound_flat",
+    (s, dir) => flattenDoc(graft.Outbound.push(s, dir,
+      "/root/repo/target/stage/q_outbound_flat").docs),
+    Some(flagshipFlatSql("WHERE o_orderkey % 2 = 1")))
+
   /** EP2 outbound push: delta-select + stage-out + validation (rows-only:
     * nested docs; the validation report is asserted in tests). */
   private val outbound = Q("q_outbound_push",
@@ -155,5 +312,5 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
-    flagship, outbound)
+    flagship, flagshipFlat, outbound, outboundFlat)
 }

@@ -131,7 +131,7 @@ object Knn {
     * (several independent small projections OR'd together) to recover the
     * recall a single wide projection loses. The fixtures pass nBits
     * explicitly; the default here is sized for large corpora. */
-  def similarPairs(emb: DataFrame, nBits: Int = 16, threshold: Double): DataFrame = {
+  def similarPairs(emb: DataFrame, threshold: Double, nBits: Int = 16): DataFrame = {
     val p = prepared(emb).withColumn("bucket", signBucket(col("e"), nBits))
     val a = p.select(col("vec_id").as("va"), col("e").as("qe"),
       col("nrm").as("qn"), col("bucket"))
