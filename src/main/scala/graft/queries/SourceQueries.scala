@@ -3,16 +3,18 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{Bucketing, Sinks, Tables}
+import graft.sources.{Bucketing, Jdbc, Sinks, Tables}
 import graft.operators.Delta
 
 /** Remaining source/sink/catalog surface (SURVEY.md §2a) + the §5
   * reconciliation block as a first-class query.
   *
-  * S4/S5/S6 (JDBC / DocumentDB connectors) have no local endpoints —
-  * per SURVEY they are modeled as parquet snapshot ingest (S2/S3) and
-  * nested-document writes (q_doc_assembly_nested); the connector
-  * plumbing is config, not query semantics.
+  * S4 (JDBC) is exercised for real against embedded Derby (see
+  * `sources/Jdbc.scala`) alongside the BCP-style CSV staging leg.
+  * S5/S6 (DocumentDB connector) have no local endpoint — per SURVEY they
+  * are modeled as parquet snapshot ingest (S2/S3) and nested-document
+  * writes (q_doc_assembly_nested); the connector plumbing is config, not
+  * query semantics.
   */
 object SourceQueries {
 
@@ -60,6 +62,28 @@ object SourceQueries {
         // inference narrows small ints — restore the table's exact types
         .select(col("s_suppkey").cast("long"), col("s_name"),
           col("s_nationkey").cast("int"), col("s_acctbal").cast("double"))
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"))
+
+  /** S4 (connector form): the real `spark.read.format("jdbc")` path
+    * against embedded Derby — seed the table over JDBC, read it back with
+    * a 4-way range-partitioned scan, land the parquet snapshot, re-read
+    * (`JDBC:88-90`). Same supplier oracle as the CSV staging leg. */
+  private val jdbcSnapshot = Q("q_s4_jdbc_snapshot",
+    (s, dir) => {
+      val url = Jdbc.memoryUrl("graft_s4")
+      Jdbc.seed(
+        Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        url, "supplier_src",
+        // Derby's dialect default for StringType is CLOB; pin VARCHAR
+        columnTypes = Some("s_name VARCHAR(64)"))
+      Jdbc.snapshot(s, url, "supplier_src",
+        partitionColumn = "s_suppkey", lowerBound = 0L, upperBound = 10000L,
+        numPartitions = 4,
+        stagePath = "/root/repo/target/stage/q_s4_jdbc_snapshot")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
     },
     Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"))
 
@@ -164,6 +188,6 @@ object SourceQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, partSink,
-    catalog, partitions, reconcile, bucketed)
+  val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
+    partSink, catalog, partitions, reconcile, bucketed)
 }
