@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.internal.SQLConf
 
 /** J3 — the disjunctive/theta left join (SURVEY.md §2c).
   *
@@ -26,6 +27,25 @@ object DisjunctiveJoin {
     * broadcastable. */
   def orJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(broadcast(right), cond, "left")
+
+  /** Size-dispatched form — the production entry point. The verbatim
+    * BNLJ is only safe while the dim broadcasts; past the threshold it
+    * means executor OOM (forced broadcast) or an O(|L|·|R|) loop. Route
+    * on the optimizer's size estimate for the dim side: within
+    * `spark.sql.autoBroadcastJoinThreshold` → verbatim broadcast OR-join
+    * (cheapest plan, one pass); above it, or with broadcasting disabled
+    * (threshold -1) → the exact OR-expansion, which is hash joins at any
+    * cardinality. Both branches produce identical results (the shared
+    * J3 oracle proves it), so the dispatch is a pure plan choice. */
+  def orJoinAuto(left: DataFrame, right: DataFrame,
+      disjuncts: Seq[(DataFrame, DataFrame) => Column]): DataFrame = {
+    require(disjuncts.nonEmpty, "OR-join needs at least one disjunct")
+    val threshold = BigInt(SQLConf.get.autoBroadcastJoinThreshold)
+    val dimBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && dimBytes <= threshold)
+      orJoin(left, right, disjuncts.map(d => d(left, right)).reduce(_ || _))
+    else orJoinExact(left, right, disjuncts)
+  }
 
   /** Exact multiset rewrite — no key-uniqueness assumption.
     *

@@ -271,7 +271,38 @@ object AnalyticsQueries {
        AND e.ts >= s.session_start AND e.ts <= s.session_end
       GROUP BY e.user_id, s.session_id"""))
 
+  /** Unkeyed interval join: clicks landed into one-hour signup windows
+    * with NO shared key — the bucketing rewrite (explode intervals over
+    * overlapped buckets, equi-join on bucket, exact residual). The naive
+    * plan is a nested loop; this one is a hash join (plan-asserted). */
+  private val rangeJoinUnkeyed = Q("q_range_join_unkeyed",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val windows = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.operators.RangeJoin.unkeyedInterval(clicks, windows,
+        ts = "ts", startCol = "w_start", endCol = "w_end",
+        bucketSeconds = 3600L)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("click_id")).as("first_click"))
+    },
+    Some("""
+      WITH clicks AS (SELECT event_id AS click_id, ts FROM events
+                      WHERE event_type = 'click'),
+           w AS (SELECT event_id AS signup_id, ts AS w_start,
+                   ts + INTERVAL 1 HOUR AS w_end
+                 FROM events WHERE event_type = 'signup')
+      SELECT w.signup_id, count(*) AS n_clicks,
+        min(c.click_id) AS first_click
+      FROM w JOIN clicks c ON c.ts >= w.w_start AND c.ts <= w.w_end
+      GROUP BY w.signup_id"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
-    rangeJoin)
+    rangeJoin, rangeJoinUnkeyed)
 }

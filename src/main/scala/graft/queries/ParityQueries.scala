@@ -317,6 +317,25 @@ object ParityQueries {
     },
     Some(j3Oracle))
 
+  /** J3 production entry: size-dispatched OR-join — broadcast BNLJ while
+    * the dim fits the broadcast threshold, exact OR-expansion (all hash
+    * joins) when it doesn't. Same oracle as the other three forms: the
+    * dispatch is a plan choice, never a semantics choice. */
+  private val j3a = Q("q_j3_auto_dispatch",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      DisjunctiveJoin.orJoinAuto(c, sup,
+        Seq(
+          (l, r) => r("s_suppkey") === l("c_custkey") % 150,
+          (l, r) => r("s_suppkey") === l("c_custkey") % 50 &&
+            r("s_nationkey") === l("c_nationkey")))
+        .groupBy(col("c_custkey"))
+        .agg(count(col("s_suppkey")).as("n_matches"),
+          min(col("s_suppkey")).as("best_supp"))
+    },
+    Some(j3Oracle))
+
   // ---------------------------------------------------------------- J4/P7
   /** Join against a filtered, deduped dim subquery (`FULL:747-749`). */
   private val j4 = Q("q_j4_dim_distinct_join",
@@ -687,7 +706,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     s1, o2Limit, pShape, fScalar, fDatetime, f5, f19,
-    j1, j2, typed, j3, j3r, j3e, j4, j6, a3,
+    j1, j2, typed, j3, j3r, j3e, j3a, j4, j6, a3,
     w1, w1s, w2, u1, u2, u3, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)
 }

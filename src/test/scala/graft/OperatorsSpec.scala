@@ -98,6 +98,25 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("unkeyed interval join: boundaries inclusive, multi-bucket spans, left-outer") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val probe = Seq((1L, t(0)), (2L, t(3600)), (3L, t(9999)), (4L, t(500000)))
+      .toDF("pid", "ts")
+    // i10 spans 4 one-hour buckets; i20 starts exactly at a probe ts
+    val ivs = Seq((10L, t(0), t(12000)), (20L, t(3600), t(3700)))
+      .toDF("iid", "lo", "hi")
+    val out = RangeJoin.unkeyedInterval(probe, ivs, "ts", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // each containing interval matched exactly once, both boundaries inclusive
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 10L)))
+    val outer = RangeJoin.unkeyedInterval(probe, ivs, "ts", "lo", "hi",
+      joinType = "left")
+      .select("pid", "iid").as[(Long, Option[Long])].collect()
+    // probe 4 is outside every interval: surfaces once, null-padded
+    assert(outer.count(_._1 == 4L) == 1 && outer.filter(_._1 == 4L).head._2.isEmpty)
+  }
+
   test("newKeysOnly matches NOT-IN-with-coalesce semantics") {
     val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val tgt = Seq(Some(1L), None).toDF("k2")

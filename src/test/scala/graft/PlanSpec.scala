@@ -31,6 +31,24 @@ class PlanSpec extends SparkSuite {
     assert(!planOf("q_j3_exact_expansion").contains("NestedLoop"))
   }
 
+  test("OR-join auto dispatch: broadcastable dim keeps BNLJ, large dim plans hash joins") {
+    // supplier at sf0.001 is KBs — well inside the default 10 MB threshold
+    assert(planOf("q_j3_auto_dispatch").contains("BroadcastNestedLoopJoin"))
+    // disable broadcasting: the same call must route to the OR-expansion
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(!planOf("q_j3_auto_dispatch").contains("NestedLoop"))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("unkeyed interval join plans a hash join, not a nested loop") {
+    val p = planOf("q_range_join_unkeyed")
+    assert(!p.contains("NestedLoop"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("repair ladder joins are all broadcast") {
     val p = planOf("q_repair_ladder")
     assert(p.contains("BroadcastHashJoin"))
