@@ -222,16 +222,35 @@ object AnalyticsQueries {
       FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey"""))
 
-  /** Approximate sketches (HLL distinct, approx quantiles): no
-    * cross-engine oracle exists for the approximations — rows-only check;
-    * exactness-bounded correctness is asserted in tests. */
+  /** Approximate sketches (HLL distinct, approx quantiles). The raw
+    * approximations can never hash-match a different engine's sketches,
+    * so the checkable projection is error-BOUNDED: exact distinct count
+    * (cross-checked against DuckDB's exact value) plus booleans asserting
+    * each sketch sits within its documented error — HLL rsd 0.05, taken
+    * at 3 sigma; approx_percentile(accuracy=1000) bounded by the exact
+    * p45/p55 quantiles, far wider than its 1/1000 rank-error guarantee.
+    * A sketch drifting out of bounds flips a boolean and fails the hash
+    * gate. */
   private val sketches = Q("q_agg_approx_sketches",
     (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median")),
-    None)
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("__approx"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__amed"),
+          expr("percentile(l_extendedprice, 0.45)").as("__p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("__p55"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("distinct_ok"),
+          (col("__amed") >= col("__p45") && col("__amed") <= col("__p55"))
+            .as("median_ok")),
+    Some("""
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_parts,
+        true AS distinct_ok, true AS median_ok
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** Keyed range join: every event lands in exactly one of its user's
     * sessions (intervals from the sessionizer) — equi-join on user with
