@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.{Curation, Dedup, TextAnalysis}
+
+/** Corpus-curation fixtures over `documents`: dedup clustering
+  * (connected components + canonical keepers), deterministic splits,
+  * quantile-band filtering, sequence chunking, stratified sampling.
+  * The component oracles extend the MinHash/LSH CTE chain from
+  * TextQueries with a recursive min-reachable-label CTE, so engine and
+  * oracle share one definition of the candidate graph.
+  */
+object CurationQueries {
+
+  /** DuckDB twin of `Dedup.connectedComponents` over the LSH candidate
+    * pairs: undirected edges, then recursive reachability; component =
+    * min node reachable. (`WITH RECURSIVE` must head the CTE list.) */
+  private val componentsCte =
+    TextQueries.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + raw""",
+      e AS (SELECT da AS src, db AS dst FROM pairs
+            UNION ALL
+            SELECT db, da FROM pairs),
+      r(node, x) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT r.node, e.dst FROM r JOIN e ON r.x = e.src),
+      comp AS (SELECT node AS doc_id, min(x) AS component
+               FROM r GROUP BY node)"""
+
+  private val components = Q("q_dedup_components",
+    (s, dir) => Dedup.connectedComponents(Dedup.lshCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(
+        Tables.load(s, dir, "documents")))).select(col("da"), col("db"))),
+    Some(componentsCte + "\n      SELECT doc_id, component FROM comp"))
+
+  /** Same 0.6·distinct_ratio + 0.4·(1−stop_ratio) score the
+    * oracle-proven `q_text_quality` uses. */
+  private val qualityCol = {
+    val t = TextAnalysis.tokens
+    val tc = size(t).cast("long")
+    lit(0.6) * (size(array_distinct(t)).cast("long") / tc) +
+      lit(0.4) * (lit(1.0) -
+        TextAnalysis.stopHits(t, TextAnalysis.enStops).cast("long") / tc)
+  }
+
+  private val qualitySqlExpr =
+    s"0.6 * (CAST(len(list_distinct(t)) AS BIGINT) / CAST(len(t) AS BIGINT)) + " +
+      s"0.4 * (1.0 - ${TextQueries.hitsSql(TextAnalysis.enStops)} / CAST(len(t) AS BIGINT))"
+
+  private val canonical = Q("q_dedup_canonical",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cc = Dedup.connectedComponents(Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingles(docs)))
+        .select(col("da"), col("db")))
+      Dedup.canonicalPerCluster(docs, cc, qualityCol)
+    },
+    Some(componentsCte + raw""",
+      ql AS (SELECT doc_id, $qualitySqlExpr AS q FROM toks),
+      lab AS (SELECT ql.doc_id,
+                coalesce(comp.component, ql.doc_id) AS component, ql.q
+              FROM ql LEFT JOIN comp ON ql.doc_id = comp.doc_id),
+      win AS (SELECT component, doc_id, q,
+                row_number() OVER (PARTITION BY component
+                                   ORDER BY q DESC, doc_id ASC) AS rn,
+                count(*) OVER (PARTITION BY component) AS n_docs
+              FROM lab)
+      SELECT component, doc_id AS keep_id, q AS keep_quality, n_docs
+      FROM win WHERE rn = 1"""))
+
+  private val bucketSql =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+  private val split = Q("q_split_hash",
+    (s, dir) => Curation.hashSplit(
+        Tables.load(s, dir, "documents"), col("doc_id"),
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+      .select(col("doc_id"), col("bucket"), col("split")),
+    Some(raw"""
+      WITH b AS (SELECT doc_id, $bucketSql AS bucket FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b"""))
+
+  private val band = Q("q_quality_band",
+    (s, dir) => Curation.quantileBand(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), qualityCol.as("quality_score")),
+      col("quality_score"), col("doc_id"), lo = 0.05, hi = 0.95),
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      ql AS (SELECT doc_id, $qualitySqlExpr AS quality_score FROM toks),
+      w AS (SELECT doc_id, quality_score,
+              percent_rank() OVER (ORDER BY quality_score, doc_id) AS q_rank
+            FROM ql)
+      SELECT doc_id, quality_score, q_rank
+      FROM w WHERE q_rank >= 0.05 AND q_rank <= 0.95"""))
+
+  private val chunks = Q("q_chunk_text",
+    (s, dir) => Curation.chunkText(
+      Tables.load(s, dir, "documents"), chunkChars = 200, stride = 150),
+    Some(raw"""
+      SELECT doc_id, i // 150 AS chunk_idx, i AS chunk_start,
+        substr(text, CAST(i + 1 AS INT), 200) AS chunk_text,
+        CAST(len(substr(text, CAST(i + 1 AS INT), 200)) AS BIGINT) AS chunk_chars
+      FROM documents,
+        unnest(CASE WHEN n_chars > 0 THEN range(0, n_chars, 150)
+                    ELSE [] END) AS u(i)"""))
+
+  private val stratified = Q("q_sample_stratified",
+    (s, dir) => Curation.stratifiedSample(
+        Tables.load(s, dir, "documents"),
+        col("source"), col("doc_id"), perGroup = 20)
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars")),
+    Some(raw"""
+      WITH w AS (SELECT source, doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY $bucketSqlFull, doc_id) AS rn
+        FROM documents)
+      SELECT source, doc_id, lang, n_chars FROM w WHERE rn <= 20"""))
+
+  private def bucketSqlFull =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified)
+}

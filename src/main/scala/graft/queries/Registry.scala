@@ -15,5 +15,6 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ SourceQueries.all ++ AnalyticsQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all
+      TextQueries.all ++ CurationQueries.all ++ SimilarityQueries.all ++
+      PipelineQueries.all
 }

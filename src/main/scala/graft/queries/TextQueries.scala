@@ -40,7 +40,7 @@ object TextQueries {
       FROM documents"""))
 
   // ---------------------------------------------------------------- lang id
-  private def hitsSql(stops: Seq[String]): String =
+  private[queries] def hitsSql(stops: Seq[String]): String =
     s"CAST(len(list_filter(t, x -> list_contains([${stops.map("'" + _ + "'").mkString(",")}], x))) AS BIGINT)"
 
   private val langId = Q("q_text_lang_id",
@@ -173,6 +173,18 @@ object TextQueries {
   private val bandValSql = (0 until Dedup.K / 2).map(b =>
     s"WHEN $b THEN CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR)")
     .mkString("CASE b ", " ", " END")
+
+  /** Shared with CurationQueries: the full chain down to deduped LSH
+    * candidate pairs (da < db), for oracles that build ON TOP of the
+    * candidate set (connected components, canonical keepers). */
+  private[queries] val lshPairsCte = minhashSigCte + raw""",
+      bands AS (SELECT doc_id, b AS band_idx, $bandValSql AS band_val
+                FROM sig, unnest(range(0, ${Dedup.K / 2})) AS u(b)),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)"""
 
   private val lsh = Q("q_dedup_minhash_lsh",
     (s, dir) => Dedup.lshCandidates(Dedup.minhashSignatures(

@@ -107,6 +107,86 @@ object Dedup {
       .select("da", "db", "n_common", "jaccard")
   }
 
+  /** Connected components over an undirected candidate-pair edge list
+    * `(da, db)` → `(doc_id, component)` with component = min doc_id
+    * reachable. This is the step that turns LSH/SimHash candidate PAIRS
+    * into dedup CLUSTERS (a↔b and b↔c must collapse to one group even
+    * though (a,c) was never emitted as a pair).
+    *
+    * Dataflow: iterative min-label propagation (hash-min) with pointer
+    * doubling — each round every node takes the min of its own and its
+    * neighbors' labels, then compresses one indirection (label := label
+    * of label), so convergence is O(log diameter) rounds, not
+    * O(diameter). Banding-derived dup clusters are near-cliques, so
+    * real corpora converge in 2-3 rounds. Per round: two equi-joins +
+    * one groupBy, all key-partitioned on doc_id, AQE-planned.
+    *
+    * Each round's frame is `localCheckpoint`ed, not just persisted: an
+    * iterative self-referencing dataflow doubles its LOGICAL plan every
+    * round even when the data is cached, and by ~10 rounds plan analysis
+    * alone OOMs the driver — checkpointing truncates lineage to the
+    * materialized result (the same reason GraphFrames checkpoints its CC
+    * loop). The driver loop reads one scalar emptiness probe per round
+    * (convergence), never row data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = graft.CacheScope.persist(
+      pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      val nbMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("component")).as("nb_min"))
+      val stepped = labels.join(nbMin, labels("node") === nbMin("src"))
+        .select(labels("node"),
+          least(labels("component"), col("nb_min")).as("component"),
+          (col("nb_min") < labels("component")).as("__chg"))
+      // pointer doubling: component values are themselves nodes, so one
+      // extra self-join jumps each label to its label's label
+      val x = stepped.alias("x")
+      val y = stepped.alias("y")
+      val next = x.join(y, col("x.component") === col("y.node"))
+        .select(col("x.node").as("node"),
+          col("y.component").as("component"),
+          (col("x.__chg") || col("y.component") < col("x.component"))
+            .as("__chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    // register the final assignment with the enclosing CacheScope (the
+    // checkpoint RDDs themselves are reclaimed by the ContextCleaner)
+    graft.CacheScope.persist(
+      labels.select(col("node").as("doc_id"), col("component")))
+  }
+
+  /** Canonical-keeper selection: one surviving document per duplicate
+    * cluster, chosen by quality (ties broken by doc_id so the choice is
+    * deterministic). Documents in no candidate pair are their own
+    * singleton cluster. Output: (component, keep_id, keep_quality,
+    * n_docs). Shuffles once on component (window + count share the
+    * partitioning). */
+  def canonicalPerCluster(docs: DataFrame, components: DataFrame,
+      quality: Column): DataFrame = {
+    val cc = components.withColumnRenamed("doc_id", "cc_id")
+    val labeled = docs.select(col("doc_id"), quality.as("q"))
+      .join(cc, col("doc_id") === col("cc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"),
+        col("q"))
+    graft.operators.TopK.top1PerKey(labeled.withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component")))),
+        Seq(col("component")),
+        Seq(col("q").desc, col("doc_id").asc))
+      .select(col("component"), col("doc_id").as("keep_id"),
+        col("q").as("keep_quality"), col("n_docs"))
+  }
+
   /** 32-bit SimHash over the distinct token set: per-bit vote sums of
     * ±1 weighted by the token hash's bit, then reassembled. One explode +
     * one groupBy with 32 codegen'd sum expressions. */

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Curation, Dedup}
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connectedComponents: transitive closure across pairs never emitted") {
+    // a-b and b-c were emitted as pairs, a-c never was; d-e is separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: long chain converges within diameter rounds") {
+    // a path graph is the worst case for min-label propagation
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.length == 12 && cc.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents: empty pair set yields empty assignment") {
+    val pairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponents(pairs).isEmpty)
+  }
+
+  test("canonicalPerCluster: best quality wins, singletons keep themselves") {
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (7L, 0.1))
+      .toDF("doc_id", "q0")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "component")
+    val out = Dedup.canonicalPerCluster(docs, comps, col("q0"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    // cluster 1: doc 2 has top quality of 3 docs; doc 7 is a singleton
+    assert(out.toSeq == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 1L)))
+  }
+
+  test("hashSplit: deterministic, total, and insertion-stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val splits = Seq(("train", 90), ("val", 5), ("test", 5))
+    val a = Curation.hashSplit(docs, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // dropping half the corpus must not move any surviving doc's split
+    val b = Curation.hashSplit(docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(b.forall { case (id, s) => a(id) == s })
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~90/5/5: loose sanity bounds, not exact (hash, not stratified)
+    val train = a.values.count(_ == "train").toDouble / a.size
+    assert(train > 0.8 && train < 0.97)
+  }
+
+  test("quantileBand: rank endpoints respected with tiebreak") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "sc")
+    val kept = Curation.quantileBand(df, col("sc"), col("doc_id"), 0.05, 0.95)
+      .select("doc_id").as[Long].collect().sorted
+    // percent_rank = (rank-1)/99: kept ranks 0.05*99+1 .. 0.95*99+1
+    assert(kept.head == 6 && kept.last == 95)
+  }
+
+  test("chunkText: stride windows cover the text, last chunk short") {
+    val docs = Seq((1L, "a" * 350, 350L), (2L, "", 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Curation.chunkText(docs, chunkChars = 200, stride = 150)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_chars")
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    // 350 chars, stride 150 → starts 0/150/300; len 200/200/50; empty doc → none
+    assert(out.toSeq == Seq((1L, 0L, 0L, 200L), (1L, 1L, 150L, 200L),
+      (1L, 2L, 300L, 50L)))
+  }
+
+  test("stratifiedSample: bounded per stratum and re-run stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s1 = Curation.stratifiedSample(docs, col("source"), col("doc_id"), 5)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val s2 = Curation.stratifiedSample(docs, col("source"), col("doc_id"), 5)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(s1.sorted.sameElements(s2.sorted))
+    assert(s1.groupBy(_._1).values.forall(_.length <= 5))
+  }
+}
