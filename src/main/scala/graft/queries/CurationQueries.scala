@@ -127,5 +127,73 @@ object CurationQueries {
   private def bucketSqlFull =
     "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
-  val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified)
+  private val gopher = Q("q_quality_gopher",
+    (s, dir) => Tables.load(s, dir, "documents").select(
+      col("doc_id") +: TextAnalysis.gopherMetrics(
+        minWords = 10, maxWords = 1000,
+        minMeanLen = 2.0, maxMeanLen = 10.0,
+        minDistinctRatio = 0.2, maxTopTokenFrac = 0.2): _*),
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS word_count,
+          CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS mean_word_len,
+          CAST(len(list_distinct(t)) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS distinct_ratio,
+          CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS top_token_frac,
+          ${TextQueries.hitsSql(TextAnalysis.enStops)} AS stop_hits
+        FROM toks)
+      SELECT doc_id, word_count, mean_word_len, distinct_ratio,
+        top_token_frac, stop_hits,
+        (word_count >= 10 AND word_count <= 1000
+         AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+         AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
+         AND stop_hits >= 1) AS keep
+      FROM m"""))
+
+  private val denyList = Seq("customer", "vector", "spark")
+
+  private val scrub = Q("q_text_scrub",
+    (s, dir) => Tables.load(s, dir, "documents").select(
+      col("doc_id") +: TextAnalysis.scrub(col("text"), denyList): _*),
+    Some {
+      val email = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+      val phone = raw"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val dict = raw"\b(" + denyList.mkString("|") + raw")\b"
+      raw"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(text, '$dict')) AS BIGINT) AS n_dict_hits,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '$email', '<EMAIL>', 'g'),
+          '$phone', '<PHONE>', 'g'),
+          '$dict', '<REDACTED>', 'g')) AS scrubbed_md5
+      FROM documents"""
+    })
+
+  private val incremental = Q("q_dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalDedup(
+        corpus = docs.filter(col("doc_id") % 2 === 0),
+        batch = docs.filter(col("doc_id") % 2 === 1))
+    },
+    Some(raw"""
+      WITH fp AS (SELECT doc_id,
+          md5(list_aggr(list_sort(list_distinct(
+            string_split_regex(lower(trim(text)), '\s+'))), 'string_agg', ' ')) AS fp
+        FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      batch AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS n_in_batch
+                FROM fp WHERE doc_id % 2 = 1 GROUP BY fp)
+      SELECT fp, keep_id, n_in_batch FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)"""))
+
+  val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
+    gopher, scrub, incremental)
 }

@@ -63,6 +63,33 @@ object SimilarityQueries {
         FROM pb a JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cos >= 0.30"""))
 
+  /** Embedding-level dedup clusters: connected components over the
+    * cosine similar-pairs graph — the same pair generator as
+    * `q_emb_similar_pairs`, closed transitively (a≈b, b≈c ⇒ one
+    * cluster). Reuses the generic CC dataflow from `Dedup`. */
+  private val embClusters = Q("q_emb_dedup_clusters",
+    (s, dir) => graft.text.Dedup.connectedComponents(
+        Knn.similarPairs(Tables.load(s, dir, "embeddings"),
+            nBits = 8, threshold = 0.30)
+          .select(col("va").as("da"), col("vb").as("db")))
+      .withColumnRenamed("doc_id", "vec_id"),
+    Some((prepCte + s""",
+      pb AS (SELECT vec_id, e, nrm, ${bucketSql(8)} AS bucket FROM p),
+      epairs AS (SELECT va, vb FROM (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+            list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+          FROM pb a JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.30),
+      eg AS (SELECT va AS src, vb AS dst FROM epairs
+             UNION ALL
+             SELECT vb, va FROM epairs),
+      r(node, x) AS (
+        SELECT DISTINCT src, src FROM eg
+        UNION
+        SELECT r.node, eg.dst FROM r JOIN eg ON r.x = eg.src)
+      SELECT node AS vec_id, min(x) AS component
+      FROM r GROUP BY node""").replaceFirst("WITH ", "WITH RECURSIVE ")))
+
   private val ivf = Q("q_knn_ivf",
     (s, dir) => Knn.ivfTopK(
       Tables.load(s, dir, "embeddings"), col("vec_id") < 5,
@@ -95,5 +122,5 @@ object SimilarityQueries {
                   JOIN p c ON cand.cid = c.vec_id)
       WHERE rank <= 10"""))
 
-  val all: Seq[Q] = Seq(brute, lsh, ivf, pairs)
+  val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters)
 }

@@ -107,6 +107,21 @@ object Dedup {
       .select("da", "db", "n_common", "jaccard")
   }
 
+  /** Incremental corpus update: dedup a NEW batch against the existing
+    * corpus without re-fingerprinting the corpus' documents pairwise —
+    * the daily-ingest shape. Within-batch dupes collapse to the min
+    * doc_id per fingerprint; batch fingerprints already in the corpus
+    * are anti-joined away. Two key-partitioned shuffles (groupBy fp +
+    * anti join on fp); at 100 TB the corpus side is a pre-built
+    * fingerprint index scan, never the raw text. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val corpusFp = corpus.select(TextAnalysis.fingerprint.as("fp")).distinct()
+    batch.select(col("doc_id"), TextAnalysis.fingerprint.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_in_batch"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+  }
+
   /** Connected components over an undirected candidate-pair edge list
     * `(da, db)` → `(doc_id, component)` with component = min doc_id
     * reachable. This is the step that turns LSH/SimHash candidate PAIRS

@@ -60,6 +60,61 @@ object TextAnalysis {
   val fingerprint: Column =
     md5(array_join(array_sort(array_distinct(tokens)), " "))
 
+  /** Mean token length (expression-only: sum of lengths / count, both
+    * exact longs, one IEEE division). */
+  def meanWordLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("long") /
+      size(toks).cast("long")
+
+  /** Fraction of the document covered by its single most frequent token
+    * (the Gopher-style repetition signal). Expression-only — O(distinct ×
+    * len) per row, which stays narrow (zero shuffle) and is the right
+    * trade for web-scale SHORT documents; for book-length docs switch to
+    * the explode + groupBy form (one shuffle, linear per row). */
+  def topTokenFrac(toks: Column): Column =
+    array_max(transform(array_distinct(toks),
+      d => size(filter(toks, x => x === d)))).cast("long") /
+      size(toks).cast("long")
+
+  /** Quality-gate metrics + verdict, Gopher-flavored: length bounds,
+    * mean-word-length bounds, repetition caps, and a stopword-presence
+    * floor. Thresholds are arguments so corpora can tune them. */
+  def gopherMetrics(minWords: Int, maxWords: Int,
+      minMeanLen: Double, maxMeanLen: Double,
+      minDistinctRatio: Double, maxTopTokenFrac: Double): Seq[Column] = {
+    val t = tokens
+    val wc = size(t).cast("long")
+    val mwl = meanWordLen(t)
+    val dr = size(array_distinct(t)).cast("long") / wc
+    val ttf = topTokenFrac(t)
+    val sh = stopHits(t, enStops).cast("long")
+    Seq(wc.as("word_count"), mwl.as("mean_word_len"),
+      dr.as("distinct_ratio"), ttf.as("top_token_frac"),
+      sh.as("stop_hits"),
+      (wc >= minWords && wc <= maxWords &&
+        mwl >= minMeanLen && mwl <= maxMeanLen &&
+        dr >= minDistinctRatio && ttf <= maxTopTokenFrac &&
+        sh >= 1).as("keep"))
+  }
+
+  /** PII / deny-list scrubbing: replace email + US-phone shapes and a
+    * dictionary of sensitive terms, count what was hit. Pure
+    * regexp_replace/extract_all — codegen'd, no shuffle, and the
+    * patterns stay in the RE2-compatible subset both engines parse. */
+  def scrub(text: Column, denyList: Seq[String]): Seq[Column] = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val dict = "\\b(" + denyList.mkString("|") + ")\\b"
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(text, email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      dict, "<REDACTED>")
+    Seq(size(regexp_extract_all(text, lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(phone), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(text, lit(dict), lit(0))).cast("long").as("n_dict_hits"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
   /** Order-sensitive rolling fingerprint: polynomial fold over the token
     * sequence, `h = (h·31 + hash(tok)) mod (2^31-1)` — the streaming-
     * friendly exact-dup key where word order matters (one pass, O(1)

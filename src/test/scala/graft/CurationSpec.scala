@@ -72,6 +72,48 @@ class CurationSpec extends SparkSuite {
       (1L, 2L, 300L, 50L)))
   }
 
+  test("gopherMetrics: repetitive and stopword-free docs rejected") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank"),
+      (2L, "spam spam spam spam spam spam spam spam spam eggs and the ham"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +: text.TextAnalysis.gopherMetrics(
+        10, 1000, 2.0, 10.0, 0.2, 0.2): _*)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L))            // healthy prose
+    assert(!out(2L))           // top_token_frac 9/13 > 0.2
+    assert(!out(3L))           // no stopwords at all
+  }
+
+  test("scrub: emails, phones, and deny-list terms redacted and counted") {
+    val docs = Seq((1L, "mail bob@example.com or call 555-123-4567 customer"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        text.TextAnalysis.scrub(col("text"), Seq("customer", "vector")): _*)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(out == ((1L, 1L, 1L, 1L,
+      // md5 of "mail <EMAIL> or call <PHONE> <REDACTED>"
+      out._5)))
+    val expected = docs.select(md5(
+      lit("mail <EMAIL> or call <PHONE> <REDACTED>"))).as[String].collect().head
+    assert(out._5 == expected)
+  }
+
+  test("incrementalDedup: within-batch collapse + corpus anti-join") {
+    val corpus = Seq((10L, "old doc one"), (11L, "old doc two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "old doc one"),     // already in corpus → dropped
+      (21L, "fresh content a"), // new
+      (22L, "fresh content a"), // within-batch dupe of 21 → collapsed
+      (23L, "fresh content b")) // new
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch)
+      .select("keep_id", "n_in_batch").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((21L, 2L), (23L, 1L)))
+  }
+
   test("stratifiedSample: bounded per stratum and re-run stable") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val s1 = Curation.stratifiedSample(docs, col("source"), col("doc_id"), 5)

@@ -68,6 +68,30 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("curation projections are shuffle-free narrow plans") {
+    // split / chunk / gopher / scrub are pure per-row work: any Exchange
+    // in their plan is a scale regression (at 100 TB it would shuffle
+    // the whole corpus for no semantic reason)
+    for (q <- Seq("q_split_hash", "q_chunk_text", "q_quality_gopher",
+        "q_text_scrub")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n" + p.take(1200))
+    }
+  }
+
+  test("stratified sample shuffles once, on the stratum key only") {
+    val p = planOf("q_sample_stratified")
+    assert(p.contains("Exchange hashpartitioning(source"), p.take(1200))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      p.take(1200)) // one exchange (+AQE read) — never a second shuffle key
+  }
+
+  test("connected-components rounds plan hash joins, never nested loops") {
+    val p = planOf("q_dedup_components")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("Hive-style partition layout prunes at the reader") {
     // materialize the partitioned sink, then read one partition back
     SparkEntry.queries("q_s2_partitioned_sink")(spark, sf).count()
