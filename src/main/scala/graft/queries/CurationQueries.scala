@@ -194,6 +194,39 @@ object CurationQueries {
       SELECT fp, keep_id, n_in_batch FROM batch b
       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)"""))
 
+  private val rebalance = Q("q_mix_rebalance",
+    (s, dir) => Curation.rebalance(
+        Tables.load(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+    Some(raw"""
+      WITH b AS (SELECT doc_id, source, lang, n_chars,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10000 AS fine
+        FROM documents)
+      SELECT doc_id, source, lang, n_chars FROM b
+      WHERE fine < CASE source WHEN 'src0' THEN 5000
+                               WHEN 'src1' THEN 2500
+                               WHEN 'src2' THEN 0
+                               ELSE 10000 END"""))
+
+  private val tfidf = Q("q_text_tfidf_top",
+    (s, dir) => TextAnalysis.tfidfTopTerms(
+      Tables.load(s, dir, "documents"), k = 5),
+    Some(raw"""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                 FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+             FROM tf JOIN df USING (tok), n),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tok ASC) AS rn FROM sc)
+      SELECT doc_id, tok, tf, df, tfidf FROM rk WHERE rn <= 5"""))
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
-    gopher, scrub, incremental)
+    gopher, scrub, incremental, rebalance, tfidf)
 }

@@ -73,6 +73,25 @@ object Curation {
       .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
   }
 
+  /** Deterministic mixture rebalancing: downsample each stratum to its
+    * target fraction by hash threshold (keep iff hash-bucket/10000 <
+    * fraction) — the "data mixture" control a training pipeline applies
+    * per source/domain. Same stability property as [[hashSplit]]: a
+    * document's fate depends only on its own key, so re-runs and corpus
+    * growth never resample survivors. Narrow projection, no shuffle;
+    * strata absent from `fractions` are kept whole. */
+  def rebalance(df: DataFrame, stratum: Column, key: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val fine = Scalars.md5Long60(key.cast("string")) % 10000
+    val threshold = fractions.foldLeft(lit(10000L)) {
+      case (acc, (name, f)) =>
+        when(stratum === name, lit((f * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(fine < threshold)
+  }
+
   /** Stratified deterministic sample: up to `perGroup` documents per
     * stratum, chosen by md5-hash order (stable, engine-reproducible —
     * not `rand()`). One shuffle on the stratum key; per-group state is

@@ -97,6 +97,29 @@ object TextAnalysis {
         sh >= 1).as("keep"))
   }
 
+  /** Per-document TF-IDF top-k terms: tf·ln(N/df), rank-limited per doc
+    * with a term tiebreak. Three key-partitioned shuffles (tf groupBy,
+    * df groupBy, doc window) + a 1-row broadcast for N — the plan Spark
+    * turns into partial-aggregated exchanges with a WindowGroupLimit,
+    * linear at corpus scale. Score rounded to 6 dp: ln() is not
+    * correctly-rounded in either engine, so raw doubles could drift a
+    * ulp between implementations. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** PII / deny-list scrubbing: replace email + US-phone shapes and a
     * dictionary of sensitive terms, count what was hit. Pure
     * regexp_replace/extract_all — codegen'd, no shuffle, and the

@@ -72,6 +72,35 @@ class CurationSpec extends SparkSuite {
       (1L, 2L, 300L, 50L)))
   }
 
+  test("rebalance: thresholds nest, untargeted strata untouched") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def ids(f: Map[String, Double]) =
+      Curation.rebalance(docs, col("source"), col("doc_id"), f)
+        .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val half = ids(Map("src0" -> 0.5))
+    val quarter = ids(Map("src0" -> 0.25))
+    // hash thresholds nest: the 25% survivors are a subset of the 50%
+    assert(quarter.subsetOf(half))
+    // zero fraction empties the stratum; untargeted strata keep all rows
+    val zero = ids(Map("src0" -> 0.0))
+    val src0 = docs.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(zero == all -- src0)
+  }
+
+  test("tfidfTopTerms: rare term outranks common term") {
+    val docs = Seq(
+      (1L, "common rare common"), (2L, "common common"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val top = text.TextAnalysis.tfidfTopTerms(docs, k = 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    // "common" appears in every doc → idf = ln(1) = 0; "rare" wins doc 1
+    assert(top(1L) == "rare")
+    // docs 2/3 only contain zero-idf terms; tiebreak still yields a row
+    assert(top(2L) == "common" && top(3L) == "common")
+  }
+
   test("gopherMetrics: repetitive and stopword-free docs rejected") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near a river bank"),
