@@ -227,6 +227,91 @@ object CurationQueries {
                ORDER BY tfidf DESC, tok ASC) AS rn FROM sc)
       SELECT doc_id, tok, tf, df, tfidf FROM rk WHERE rn <= 5"""))
 
+  /** End-to-end dedup: the corpus that SURVIVES near-dup clustering —
+    * docs → shingles → MinHash → LSH pairs → connected components →
+    * quality-ranked canonical keepers → surviving rows. The whole chain
+    * is one hash-checked composition (the dedup analogue of
+    * `q_flagship_flat`): a wiring bug in any stage shifts which doc_ids
+    * survive and fails the gate. */
+  private val dedupPipeline = Q("q_dedup_pipeline",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cc = Dedup.connectedComponents(Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingles(docs)))
+        .select(col("da"), col("db")))
+      val keepers = Dedup.canonicalPerCluster(docs, cc, qualityCol)
+        .select(col("keep_id"))
+      docs.join(keepers, col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    },
+    Some(componentsCte + raw""",
+      ql AS (SELECT doc_id, $qualitySqlExpr AS q FROM toks),
+      lab AS (SELECT ql.doc_id,
+                coalesce(comp.component, ql.doc_id) AS component, ql.q
+              FROM ql LEFT JOIN comp ON ql.doc_id = comp.doc_id),
+      win AS (SELECT doc_id, row_number() OVER (PARTITION BY component
+                ORDER BY q DESC, doc_id ASC) AS rn FROM lab)
+      SELECT d.doc_id, d.source, d.lang, d.n_chars
+      FROM documents d JOIN win ON d.doc_id = win.doc_id
+      WHERE win.rn = 1"""))
+
+  /** End-to-end curation: quality-gate → scrub → deterministic split →
+    * chunk the train split — the standard prep path from raw corpus to
+    * training sequences, hash-checked as one composition. */
+  private val curationPipeline = Q("q_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val gated = docs
+        .withColumn("keep", TextAnalysis.gopherMetrics(
+          10, 1000, 2.0, 10.0, 0.2, 0.2).last)
+        .filter(col("keep"))
+      val scrubbed = gated.withColumn("text",
+        regexp_replace(col("text"),
+          raw"\b(" + denyList.mkString("|") + raw")\b", "<REDACTED>"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      Curation.chunkText(
+        Curation.hashSplit(scrubbed, col("doc_id"),
+            Seq(("train", 90), ("val", 5), ("test", 5)))
+          .filter(col("split") === "train"),
+        chunkChars = 200, stride = 150)
+    },
+    Some {
+      val dict = raw"\b(" + denyList.mkString("|") + raw")\b"
+      raw"""
+      WITH toks AS (SELECT doc_id, text,
+                      string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      m AS (SELECT doc_id, text,
+          CAST(len(t) AS BIGINT) AS word_count,
+          CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS mean_word_len,
+          CAST(len(list_distinct(t)) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS distinct_ratio,
+          CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS top_token_frac,
+          ${TextQueries.hitsSql(TextAnalysis.enStops)} AS stop_hits
+        FROM toks),
+      gated AS (SELECT doc_id, text FROM m
+        WHERE word_count >= 10 AND word_count <= 1000
+          AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+          AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
+          AND stop_hits >= 1),
+      scrubbed AS (SELECT doc_id,
+          regexp_replace(text, '$dict', '<REDACTED>', 'g') AS text
+        FROM gated),
+      train AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
+        FROM scrubbed
+        WHERE $bucketSql < 90)
+      SELECT doc_id, i // 150 AS chunk_idx, i AS chunk_start,
+        substr(text, CAST(i + 1 AS INT), 200) AS chunk_text,
+        CAST(len(substr(text, CAST(i + 1 AS INT), 200)) AS BIGINT) AS chunk_chars
+      FROM train,
+        unnest(CASE WHEN n_chars > 0 THEN range(0, n_chars, 150)
+                    ELSE [] END) AS u(i)"""
+    })
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
-    gopher, scrub, incremental, rebalance, tfidf)
+    gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
+    curationPipeline)
 }
