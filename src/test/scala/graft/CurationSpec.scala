@@ -27,6 +27,31 @@ class CurationSpec extends SparkSuite {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("connectedComponents matches reference union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(40)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      // reference union-find; attaching the larger root under the smaller
+      // keeps every set's root = its min element, matching CC's label
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("da", "db"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
+
   test("canonicalPerCluster: best quality wins, singletons keep themselves") {
     val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (7L, 0.1))
       .toDF("doc_id", "q0")
