@@ -188,6 +188,34 @@ object SourceQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderkey"""))
 
+  /** S10 (engine-side replacement): schema evolution on read. The
+    * reference ran a crawler to reconcile drifting batch schemas; Spark
+    * replaces that with `mergeSchema` — two batches written with
+    * different column sets read back as one frame with the union schema,
+    * absent columns null-filled. The oracle states the same union
+    * semantics directly over `orders`. */
+  private val schemaMerge = Q("q_s10_schema_merge",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s10_schema_merge"
+      val base = Tables.load(s, dir, "orders")
+        .where(col("o_orderstatus") === "F")
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+        CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
-    partSink, catalog, partitions, reconcile, bucketed)
+    partSink, catalog, partitions, reconcile, bucketed, schemaMerge)
 }
