@@ -148,8 +148,13 @@ object Dedup {
     val edges = graft.CacheScope.persist(
       pairs.select(col("da").as("src"), col("db").as("dst"))
         .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // initialization folds the first neighbor-min round in for free: one
+    // groupBy instead of a join + checkpoint round. Star-shaped clusters
+    // (the common LSH case) converge one full round earlier.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nb0"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nb0")).as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = labels.isEmpty
