@@ -56,6 +56,19 @@ object Curation {
       .filter(col("q_rank") >= lo && col("q_rank") <= hi)
   }
 
+  /** The 100 TB path for [[quantileBand]]: band thresholds from
+    * `approxQuantile` (Greenwald-Khanna sketch — one pass, no global
+    * sort; the two threshold doubles are the only driver-side fetch),
+    * then a narrow filter. Trades the exact rank endpoints for ±relErr
+    * rank error — the right trade when the corpus doesn't fit a sort.
+    * CurationSpec pins it against the exact form: every row strictly
+    * inside the band survives in both. */
+  def quantileBandApprox(df: DataFrame, scoreCol: String,
+      lo: Double, hi: Double, relErr: Double = 0.001): DataFrame = {
+    val Array(l, h) = df.stat.approxQuantile(scoreCol, Array(lo, hi), relErr)
+    df.filter(col(scoreCol) >= l && col(scoreCol) <= h)
+  }
+
   /** Fixed-size character windows with stride — sequence prep for
     * training (chunk 0 starts at 0, chunk i at i·stride; last chunk may
     * be short). One explode, no shuffle; output scales by ~len/stride. */

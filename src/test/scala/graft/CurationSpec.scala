@@ -86,6 +86,22 @@ class CurationSpec extends SparkSuite {
     assert(kept.head == 6 && kept.last == 95)
   }
 
+  test("quantileBandApprox brackets the exact band within rank error") {
+    val n = 1000
+    val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "sc")
+    val exact = Curation.quantileBand(df, col("sc"), col("doc_id"), 0.1, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Curation
+      .quantileBandApprox(df, "sc", 0.1, 0.9, relErr = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // each boundary may slide by at most relErr·n ranks
+    assert((exact diff approx).size <= 2 * (0.01 * n).toInt + 2)
+    assert((approx diff exact).size <= 2 * (0.01 * n).toInt + 2)
+    // the strict interior of the band must survive in both forms
+    val interior = (150 to 850).map(_.toLong).toSet
+    assert(interior.subsetOf(exact) && interior.subsetOf(approx))
+  }
+
   test("chunkText: stride windows cover the text, last chunk short") {
     val docs = Seq((1L, "a" * 350, 350L), (2L, "", 0L))
       .toDF("doc_id", "text", "n_chars")
