@@ -236,6 +236,79 @@ object TextQueries {
        AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""))
 
+  /** Candidate verification by exact edit distance: LSH narrows the
+    * pair space, levenshtein confirms — the standard two-phase near-dup
+    * check for short documents. Cost is O(len²) per CANDIDATE (never
+    * per cross-pair), so the frequency-capped generator bounds total
+    * work. Normalized ratio = dist / max(len) in exact integer-to-double
+    * division, so both engines agree bit-for-bit. */
+  private val editVerify = Q("q_dedup_edit_verify",
+    (s, dir) => {
+      val docs = graft.CacheScope.persist(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
+      val cand = Dedup.lshCandidates(Dedup.minhashSignatures(
+        Dedup.shingles(docs))).select(col("da"), col("db"))
+      cand
+        .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+        .select(col("da"), col("db"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          (levenshtein(col("ta"), col("tb")).cast("long") /
+            greatest(length(col("ta")), length(col("tb"))).cast("long"))
+            .as("edit_ratio"))
+    },
+    Some(lshPairsCte + raw"""
+      SELECT da, db,
+        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        CAST(levenshtein(a.text, b.text) AS BIGINT)
+          / CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS edit_ratio
+      FROM pairs JOIN documents a ON pairs.da = a.doc_id
+                 JOIN documents b ON pairs.db = b.doc_id"""))
+
+  /** LSH quality diagnostic: recall of the banding candidates against
+    * ground-truth Jaccard ≥ 0.5 pairs — "measure, don't guess" for the
+    * banding parameters. One row: true pairs, candidates, hits, recall. */
+  private val lshRecall = Q("q_dedup_lsh_recall",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh = Dedup.shingles(docs)
+      val truth = Dedup.jaccardPairs(sh, dfCap = Int.MaxValue, threshold = 0.5)
+        .select(col("da"), col("db"))
+      val cand = Dedup.lshCandidates(Dedup.minhashSignatures(sh))
+        .select(col("da"), col("db"))
+      val t = graft.CacheScope.persist(truth)
+      val c = graft.CacheScope.persist(cand)
+      val hits = t.join(c, Seq("da", "db"), "left_semi")
+      t.agg(count(lit(1)).as("n_true")).crossJoin(
+          c.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall", col("n_hit") / col("n_true"))
+    },
+    Some(minhashSigCte + raw""",
+      bands AS (SELECT doc_id, b AS band_idx, $bandValSql AS band_val
+                FROM sig, unnest(range(0, ${Dedup.K / 2})) AS u(b)),
+      cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      ovl AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      truth AS (SELECT da, db FROM ovl
+                JOIN sizes sa ON da = sa.doc_id
+                JOIN sizes sb ON db = sb.doc_id
+                WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+      hit AS (SELECT t.da, t.db FROM truth t
+              WHERE EXISTS (SELECT 1 FROM cand c
+                            WHERE c.da = t.da AND c.db = t.db))
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM hit) AS n_hit,
+             CAST((SELECT count(*) FROM hit) AS BIGINT)
+               / CAST((SELECT count(*) FROM truth) AS BIGINT) AS recall"""))
+
   /** Corpus vocabulary statistics: document frequency + total term
     * frequency per token — the substrate for TF-IDF filtering and
     * stopword discovery in a training-data pipeline. One explode + one
@@ -254,5 +327,6 @@ object TextQueries {
       FROM t GROUP BY tok"""))
 
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
-    exact, jaccard, minhash, lsh, simhash, simhashPairs)
+    exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
+    lshRecall)
 }
