@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.text.{Curation, Dedup, TextAnalysis}
+import graft.text.{Curation, Decontaminate, Dedup, TextAnalysis}
 
 /** Corpus-curation fixtures over `documents`: dedup clustering
   * (connected components + canonical keepers), deterministic splits,
@@ -311,7 +311,85 @@ object CurationQueries {
                     ELSE [] END) AS u(i)"""
     })
 
+  /** DuckDB twin of `Dedup.ngrams(_, 5)` over a source-filtered slice:
+    * 1-based list slicing mirrors Spark's `slice(t, i+1, 5)`. */
+  private def sh5Sql(rel: String, pred: String) = raw"""
+      (SELECT DISTINCT doc_id, array_to_string(t[(i+1):(i+5)], ' ') AS s
+       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM $rel WHERE $pred) tk,
+         unnest(CASE WHEN len(t) >= 5 THEN range(0, len(t)-4)
+                     ELSE [] END) AS u(i))"""
+
+  private val decontaminate = Q("q_decontaminate",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.contamination(
+        train = docs.filter(col("source") =!= "src0"),
+        bench = docs.filter(col("source") === "src0"),
+        n = 5, rateThreshold = 0.2)
+    },
+    Some(raw"""
+      WITH th AS (SELECT doc_id,
+          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS sh
+        FROM ${sh5Sql("documents", "source <> 'src0'")} t),
+      bh AS (SELECT DISTINCT
+          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS sh
+        FROM ${sh5Sql("documents", "source = 'src0'")} b),
+      agg AS (SELECT th.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+          CAST(sum(CASE WHEN bh.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hits
+        FROM th LEFT JOIN bh USING (sh) GROUP BY 1)
+      SELECT doc_id, n_ngrams, n_hits,
+        CAST(n_hits AS DOUBLE) / n_ngrams AS contamination_rate,
+        CAST(CASE WHEN CAST(n_hits AS DOUBLE) / n_ngrams >= 0.2
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+      FROM agg"""))
+
+  /** Shared oracle for both packing forms — exact window cumsum and the
+    * scalable two-level offsets must produce identical output. */
+  private val packSql = raw"""
+      WITH toks AS (SELECT doc_id,
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+            AS n_tokens,
+          $bucketSqlFull AS h
+        FROM documents),
+      cum AS (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset
+        FROM toks),
+      pk AS (SELECT doc_id, n_tokens, start_offset,
+          start_offset // 128 AS seq_first,
+          (start_offset + greatest(n_tokens, 1) - 1) // 128 AS seq_last
+        FROM cum)"""
+
+  private val packSelect = packSql + raw"""
+      SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
+        seq_last - seq_first + 1 AS n_seqs
+      FROM pk"""
+
+  private val pack = Q("q_pack_sequences",
+    (s, dir) => Curation.packSequences(
+      Tables.load(s, dir, "documents"), seqLen = 128),
+    Some(packSelect))
+
+  private val packScalable = Q("q_pack_sequences_scalable",
+    (s, dir) => Curation.packSequencesScalable(
+      Tables.load(s, dir, "documents"), seqLen = 128),
+    Some(packSelect))
+
+  private val packManifest = Q("q_pack_manifest",
+    (s, dir) => Curation.packingManifest(
+      Curation.packSequencesScalable(
+        Tables.load(s, dir, "documents"), seqLen = 128),
+      seqLen = 128),
+    Some(packSql + raw"""
+      SELECT u.seq_id, doc_id,
+        least(start_offset + n_tokens, (u.seq_id + 1) * 128) -
+          greatest(start_offset, u.seq_id * 128) AS tokens_in_seq
+      FROM pk, unnest(range(seq_first, seq_last + 1)) AS u(seq_id)"""))
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
-    curationPipeline)
+    curationPipeline, decontaminate, pack, packScalable, packManifest)
 }

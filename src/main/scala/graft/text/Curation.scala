@@ -116,4 +116,93 @@ object Curation {
         Seq(stratum), Seq(col("__h").asc, key.asc), perGroup)
       .drop("__h")
   }
+
+  // ------------------------------------------------------- sequence packing
+
+  /** Token count + deterministic shuffle key per document — the shared
+    * head of both packing forms. Hash order stands in for the "global
+    * shuffle" a training pipeline wants before packing, without rand(). */
+  private def packInput(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(TextAnalysis.tokens).cast("long").as("n_tokens"),
+      Scalars.md5Long60(col("doc_id").cast("string")).as("h"))
+
+  /** Project a frame carrying (doc_id, n_tokens, start_offset) onto the
+    * packing output: which fixed-length sequences the doc occupies. */
+  private def packProject(cum: DataFrame, seqLen: Int): DataFrame = {
+    // a zero-token doc gets a zero-width span at its offset (greatest
+    // keeps the formula total; the fixtures have no empty docs)
+    cum.select(col("doc_id"), col("n_tokens"), col("start_offset"))
+      .withColumn("__last_tok",
+        col("start_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
+      .withColumn("seq_first", expr(s"start_offset DIV $seqLen"))
+      .withColumn("seq_last", expr(s"__last_tok DIV $seqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .drop("__last_tok")
+  }
+
+  /** Concat-and-split sequence packing (the GPT-style training prep):
+    * documents are concatenated in deterministic hash order and the
+    * token stream is cut into fixed `seqLen`-token sequences. Emits
+    * each document's global token `start_offset` and the first/last
+    * sequence index it lands in. This exact form is one global-sort
+    * window cumsum — fine to ~10^8 docs; [[packSequencesScalable]] is
+    * the 100 TB twin with identical output. */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "sequence length must be positive")
+    val w = Window.orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packProject(
+      packInput(docs).withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L))),
+      seqLen)
+  }
+
+  /** Scale form of [[packSequences]]: no global sort. Range-partition by
+    * the hash key, cumsum within partitions, then add broadcast
+    * per-partition prefix offsets — the same two-level technique as
+    * TopK.surrogateKeyScalable (and the same load-bearing persist: the
+    * offsets job and the main join must see one consistent partition
+    * layout). Identical ids to the exact form, proven by sharing its
+    * oracle. */
+  def packSequencesScalable(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "sequence length must be positive")
+    val ranged = packInput(docs)
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions(col("h"), col("doc_id"))
+    val withLocal = graft.CacheScope.persist(ranged
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("__pid")).orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
+    val offsets = withLocal.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptoks"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptoks")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    packProject(
+      withLocal.join(broadcast(offsets), Seq("__pid"))
+        .withColumn("start_offset", col("__offset") + col("__local")),
+      seqLen)
+  }
+
+  /** Packing manifest: one row per (sequence, document) occupancy with
+    * the token count the doc contributes to that sequence — the shard
+    * manifest a training loader actually consumes. Derived by exploding
+    * each doc's [seq_first, seq_last] span; fan-out is bounded by
+    * n_tokens/seqLen + 1 per doc, so output size ≈ corpus tokens /
+    * seqLen, independent of document skew. */
+  def packingManifest(packed: DataFrame, seqLen: Int): DataFrame = {
+    val seqStart = col("seq_id") * seqLen
+    val docEnd = col("start_offset") + col("n_tokens")
+    packed
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .withColumn("tokens_in_seq",
+        least(docEnd, seqStart + seqLen) - greatest(col("start_offset"), seqStart))
+      .select(col("seq_id"), col("doc_id"), col("tokens_in_seq"))
+  }
 }

@@ -28,14 +28,22 @@ object Dedup {
   val BS: Seq[Long] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
   val K: Int = AS.size
 
-  /** Distinct word 3-shingles per document: (doc_id, s). */
-  def shingles(docs: DataFrame): DataFrame =
+  /** Distinct word n-shingles per document: (doc_id, s). Documents with
+    * fewer than `n` tokens contribute no shingles. Narrow projection +
+    * one distinct shuffle; output scales with total token count. */
+  def ngrams(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "shingle width must be positive")
     docs.select(col("doc_id"), TextAnalysis.tokens.as("t"))
       .select(col("doc_id"), explode(
-        when(size(col("t")) >= 3,
-          expr("transform(sequence(0, size(t)-3), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"))
+        when(size(col("t")) >= n,
+          expr(s"transform(sequence(0, size(t)-$n), i -> array_join(slice(t, i+1, $n), ' '))"))
           .otherwise(array().cast("array<string>"))).as("s"))
       .distinct()
+  }
+
+  /** Distinct word 3-shingles per document: (doc_id, s) — the MinHash
+    * default width. */
+  def shingles(docs: DataFrame): DataFrame = ngrams(docs, 3)
 
   /** Exact dedup by content fingerprint: one keeper (min doc_id) per
     * fingerprint group. */

@@ -193,4 +193,63 @@ class CurationSpec extends SparkSuite {
     assert(s1.sorted.sameElements(s2.sorted))
     assert(s1.groupBy(_._1).values.forall(_.length <= 5))
   }
+
+  test("contamination: exact bench copy flagged, clean doc zero, short doc absent") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim copy → rate 1.0
+      (2L, "one two three four five six seven"),   // disjoint → rate 0
+      (3L, "too short"))                            // < n tokens → no n-grams
+      .toDF("doc_id", "text")
+    val out = graft.text.Decontaminate.contamination(train, bench, n = 5)
+      .select("doc_id", "contamination_rate", "is_contaminated")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 == 1.0 && out(0)._3 == 1L)
+    assert(out(1)._2 == 0.0 && out(1)._3 == 0L)
+    val kept = graft.text.Decontaminate.removeContaminated(train, bench, n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L)) // short doc survives: nothing to collide
+  }
+
+  test("contamination: partial overlap rate below threshold is not flagged") {
+    // 10-token train doc shares exactly one 5-gram window region with bench
+    val bench = Seq((100L, "p q r s t")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c p q r s t x y")).toDF("doc_id", "text")
+    val out = graft.text.Decontaminate.contamination(train, bench, n = 5,
+        rateThreshold = 0.5)
+      .select("n_ngrams", "n_hits", "is_contaminated")
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((6L, 1L, 0L))) // 6 windows, 1 collides, 1/6 < 0.5
+  }
+
+  test("packSequences: offsets partition the token stream; scalable twin identical") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Curation.packSequences(docs, seqLen = 64)
+    val rows = exact.select("doc_id", "n_tokens", "start_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // consecutive docs tile the stream with no gaps or overlaps
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 + a._2 == b._3); case _ =>
+    }
+    assert(rows.head._3 == 0L)
+    val scalable = Curation.packSequencesScalable(docs, seqLen = 64)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(exact.collect().map(_.toSeq).sortBy(_.toString).sameElements(scalable))
+  }
+
+  test("packingManifest: per-doc contributions sum to n_tokens, per-seq to seqLen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = Curation.packSequences(docs, seqLen = 64)
+    val manifest = Curation.packingManifest(packed, seqLen = 64)
+    val perDoc = manifest.groupBy("doc_id")
+      .agg(sum("tokens_in_seq").as("t")).as[(Long, Long)].collect().toMap
+    val expect = packed.select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(perDoc == expect)
+    // every sequence except the final partial one holds exactly seqLen tokens
+    val perSeq = manifest.groupBy("seq_id")
+      .agg(sum("tokens_in_seq").as("t")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(perSeq.dropRight(1).forall(_._2 == 64L))
+    assert(perSeq.last._2 <= 64L)
+  }
 }
