@@ -34,7 +34,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times a subset
+    // (the driver never sets it, so the contract output is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // name -> (per-rep seconds for successful reps, first error if any)
     val runs: Seq[(String, Seq[Double], Option[String])] = {
       val raw = (1 to reps).map { _ =>

@@ -75,13 +75,16 @@ object Flagship {
       "s_nationkey" -> lit(-1), "s_acctbal" -> lit(0.0))
     val salesLob = base.filter(col("channel").isin("DIRECT", "DEALER"))
     val tvLob = base.filter(!col("channel").isin("DIRECT", "DEALER"))
-    val repairedSales = RepairJoin(salesLob, "o_orderkey", supplier, dimCols,
+    // equi form: dedup on the broadcast side, zero fact shuffles — the
+    // general theta ladder (RepairJoin.apply) stays exercised by
+    // q_repair_ladder; both produce identical output (RepairJoinSpec)
+    val repairedSales = RepairJoin.equiLadder(salesLob, supplier, dimCols,
       rounds = Seq(
-        (b, d) => d("s_suppkey") === b("k1") && d("s_nationkey") === b("c_nationkey"),
-        (b, d) => d("s_suppkey") === b("k1")),
+        Seq("k1" -> "s_suppkey", "c_nationkey" -> "s_nationkey"),
+        Seq("k1" -> "s_suppkey")),
       dedupOrder, defaults)
-    val repairedTv = RepairJoin(tvLob, "o_orderkey", supplier, dimCols,
-      rounds = Seq((b, d) => d("s_suppkey") === b("k1")),
+    val repairedTv = RepairJoin.equiLadder(tvLob, supplier, dimCols,
+      rounds = Seq(Seq("k1" -> "s_suppkey")),
       dedupOrder, defaults)
     val repaired = repairedSales.unionByName(repairedTv)
 

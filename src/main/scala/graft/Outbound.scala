@@ -30,8 +30,12 @@ object Outbound {
       .select("leadid") // stand-in for the existing collection's keys
     require(docdb.columns.contains("leadid"), "target collection lacks leadid")
 
-    // only-new delta (PUSH:207-224) + stage-out lineage cut (PUSH:227-229)
-    val delta = Delta.newKeysOnly(prospects, docdb, "leadid", "leadid", lit(""))
+    // only-new delta (PUSH:207-224) + stage-out lineage cut (PUSH:227-229).
+    // persist: the delta is consumed four times (stage write, reconcile's
+    // src count, and both MINUS directions) — uncached, each re-runs the
+    // anti-join over the full prospect frame
+    val delta = CacheScope.persist(
+      Delta.newKeysOnly(prospects, docdb, "leadid", "leadid", lit("")))
     val staged = Sinks.stageOut(spark, delta, stagePath)
 
     // validation block (PUSH:369-457): staged must equal the delta

@@ -77,4 +77,51 @@ object RepairJoin {
     (defaulted :: branches).map(_.select(outCols.map(col): _*))
       .reduce(_ unionByName _)
   }
+
+  /** The ladder specialized to equi-key rounds — every rung the reference
+    * actually runs (`FULL:738-1057` joins on dealer-code/state key sets).
+    * Semantically identical to [[apply]] with the same rounds expressed
+    * as equality conditions, but with the dedup moved to the BROADCAST
+    * side: all candidate dim rows for one fact row share that row's key
+    * values, so top-1-per-fact-key over the joined frame equals joining a
+    * dim pre-deduplicated top-1 per round key set (same ordering). Each
+    * rung is then at most 1:1 and the round precedence collapses into
+    * per-column `when` chains instead of filter/union branches.
+    *
+    * Scale contrast with [[apply]]: the general form shuffles the fact
+    * once per rung (the dedup window) and persists each rung's frame;
+    * this form never shuffles, splits, or persists the fact at all — the
+    * only shuffles are the per-round dim windows (dimension-sized), and
+    * the fact flows through d broadcast joins inside one codegen span.
+    * At 100 TB that is the difference between d fact-wide exchanges and
+    * zero.
+    *
+    * @param rounds per rung, the equi pairs (factCol, dimCol), tightest
+    *               first; a fact row takes the first rung that matches
+    */
+  def equiLadder(base: DataFrame, dim: DataFrame, dimCols: Seq[String],
+      rounds: Seq[Seq[(String, String)]], dedupOrder: Seq[Column],
+      defaults: Map[String, Column]): DataFrame = {
+    require(rounds.nonEmpty, "repair ladder needs at least one round")
+    require(dimCols.nonEmpty, "repair ladder needs dim columns to attach")
+    require(rounds.forall(_.nonEmpty), "each round needs at least one equi pair")
+    require(base.columns.intersect(dimCols).isEmpty,
+      s"dim columns ${base.columns.intersect(dimCols).mkString(",")} collide with base columns")
+    val joined = rounds.zipWithIndex.foldLeft(base) { case (acc, (keys, i)) =>
+      val dd = TopK.top1PerKey(dim, keys.map(p => col(p._2)),
+          dedupOrder ++ dimCols.map(col))
+        .select(keys.map { case (_, k) => col(k).as(s"__k${i}_$k") } ++
+          dimCols.map(c => col(c).as(s"__d${i}_$c")) :+
+          lit(true).as(s"__m$i"): _*)
+      acc.join(broadcast(dd),
+        keys.map { case (f, k) => acc(f) === dd(s"__k${i}_$k") }.reduce(_ && _),
+        "left")
+    }
+    val repaired = dimCols.map { c =>
+      rounds.indices.foldRight(defaults.getOrElse(c, lit(null))) { (i, els) =>
+        when(col(s"__m$i"), col(s"__d${i}_$c")).otherwise(els)
+      }.as(c)
+    }
+    joined.select(base.columns.map(col) ++ repaired: _*)
+  }
 }

@@ -30,6 +30,36 @@ class OperatorsSpec extends SparkSuite {
     assert(out(3L) == "DEFAULT")
   }
 
+  test("RepairJoin.equiLadder ≡ general ladder on equi rounds (dup dim keys)") {
+    // dup keys per rung force the dedup to matter; id=4 exercises a
+    // round-1 key that only matches in round 2's looser key set
+    val base = Seq((1L, 10L, 1), (2L, 20L, 2), (3L, 99L, 3), (4L, 10L, 7))
+      .toDF("id", "k1", "nat")
+    val dim = Seq((10L, "tight", 1, 5.0), (10L, "tight-dup", 1, 5.0),
+      (10L, "loose-better", 2, 9.0), (20L, "loose", 7, 1.0),
+      (20L, "loose-worse", 7, 0.5))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val dimCols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val rounds = Seq(
+      Seq("k1" -> "s_suppkey", "nat" -> "s_nationkey"),
+      Seq("k1" -> "s_suppkey"))
+    val order = Seq(col("s_acctbal").desc, col("s_suppkey"))
+    val defaults = Map("s_suppkey" -> lit(-1L), "s_name" -> lit("DEFAULT"),
+      "s_nationkey" -> lit(-1), "s_acctbal" -> lit(0.0))
+    val general = RepairJoin(base, "id", dim, dimCols,
+      Seq((b, d) => d("s_suppkey") === b("k1") && d("s_nationkey") === b("nat"),
+        (b, d) => d("s_suppkey") === b("k1")),
+      order, defaults).collect().map(_.toSeq).sortBy(_.toString)
+    val equi = RepairJoin.equiLadder(base, dim, dimCols, rounds, order, defaults)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(general.sameElements(equi))
+    // and the equi plan never exchanges the fact: no shuffle reaches a
+    // path that includes the base rows (dim-side windows do shuffle)
+    val plan = RepairJoin.equiLadder(base, dim, dimCols, rounds, order, defaults)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("DisjunctiveJoin rewrite ≡ verbatim OR-join") {
     val l = spark.read.parquet(s"$sf/customer.parquet")
     val r = spark.read.parquet(s"$sf/supplier.parquet")
