@@ -326,7 +326,21 @@ object TextQueries {
       SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
       FROM t GROUP BY tok"""))
 
+  private val lmScore = Q("q_text_lm_score",
+    (s, dir) => graft.text.TextAnalysis.lmScore(
+      Tables.load(s, dir, "documents")),
+    Some(raw"""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                 FROM documents),
+      freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+      sc AS (SELECT doc_id, CAST(round(-ln(cnt / total), 6) AS DECIMAL(18,6)) AS s
+             FROM t JOIN freq USING (tok), tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(s) AS DOUBLE) / count(*) AS xent
+      FROM sc GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
-    lshRecall)
+    lshRecall, lmScore)
 }

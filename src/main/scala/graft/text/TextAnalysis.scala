@@ -147,4 +147,31 @@ object TextAnalysis {
       "(acc, x) -> (acc * 31 + " +
       "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 2147483647) " +
       "% 2147483647)")
+
+  /** Unigram language-model scoring (the CCNet/RedPajama quality signal):
+    * per-document cross-entropy under the corpus's own unigram model,
+    * `xent = avg over tokens of −ln(count(tok)/total)`. Low = typical
+    * text, high = rare-token soup; the usual use is a [[Curation]]
+    * quantile band over this column.
+    *
+    * Dataflow: one token-count aggregation (partial-agg absorbs hot-token
+    * skew), then the fact re-joins the frequency table BROADCAST — a
+    * shuffle join on `tok` would send every occurrence of a hot token to
+    * one partition. A cleaned corpus's unigram vocab is ~10^7 entries
+    * (hundreds of MB) and fits; if it doesn't, pre-bucket both sides on
+    * `tok` instead. Per-token ln is rounded to 6dp and summed as
+    * DECIMAL(18,6) so partial-agg order can't perturb the hash
+    * (ln is not correctly-rounded in either engine). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("__s",
+        round(-log(col("cnt") / col("total")), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__s")).cast("double") / count(lit(1))).as("xent"))
+  }
 }

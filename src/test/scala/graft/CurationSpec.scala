@@ -238,6 +238,21 @@ class CurationSpec extends SparkSuite {
     assert(exact.collect().map(_.toSeq).sortBy(_.toString).sameElements(scalable))
   }
 
+  test("lmScore: cross-entropy matches the closed form, rare tokens score higher") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.lmScore(docs)
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    // corpus: 8 tokens, p(common)=7/8, p(rare)=1/8
+    val lnC = BigDecimal(-math.log(7.0 / 8)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lnR = BigDecimal(-math.log(1.0 / 8)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(out(1L) - (lnC * 4 / 4).toDouble) < 1e-9)
+    assert(math.abs(out(2L) - ((lnC * 3 + lnR) / 4).toDouble) < 1e-9)
+    assert(out(2L) > out(1L))
+  }
+
   test("packingManifest: per-doc contributions sum to n_tokens, per-seq to seqLen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val packed = Curation.packSequences(docs, seqLen = 64)
