@@ -122,5 +122,56 @@ object SimilarityQueries {
                   JOIN p c ON cand.cid = c.vec_id)
       WHERE rank <= 10"""))
 
-  val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters)
+  private val int8 = Q("q_emb_int8_profile",
+    (s, dir) => graft.similarity.Quantize.int8Profile(
+      Tables.load(s, dir, "embeddings")),
+    Some(raw"""
+      WITH ql AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+        FROM embeddings),
+      qz AS (SELECT vec_id, e, scale,
+          list_transform(e, x -> CAST(round(CASE WHEN scale = 0 THEN 0.0
+            ELSE x / scale * 127 END) AS INT)) AS q
+        FROM ql),
+      cs AS (SELECT vec_id,
+          CAST(sum(q[CAST(i AS INT)] * i) AS BIGINT) AS q_checksum
+        FROM qz, unnest(range(1, len(q) + 1)) AS u(i) GROUP BY 1)
+      SELECT qz.vec_id, CAST(len(e) AS BIGINT) AS dim,
+        round(scale, 6) AS scale_r, cs.q_checksum,
+        round(list_max(list_transform(e, x -> abs(x -
+          round(CASE WHEN scale = 0 THEN 0.0 ELSE x / scale * 127 END)
+          * scale / 127))), 6) AS max_abs_err
+      FROM qz JOIN cs ON qz.vec_id = cs.vec_id"""))
+
+  private val signBitsSql =
+    (0 until 63).map(i =>
+      s"(CASE WHEN e[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+
+  private val signSigCte = raw"""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      sig AS (SELECT vec_id, $signBitsSql AS sig FROM p)"""
+
+  private val signSig = Q("q_emb_sign_sig",
+    (s, dir) => graft.similarity.Quantize.signSignature(
+      Tables.load(s, dir, "embeddings")),
+    Some(signSigCte + "\n      SELECT vec_id, sig FROM sig"))
+
+  private val hamming = Q("q_emb_hamming_pairs",
+    (s, dir) => graft.similarity.Quantize.hammingPairs(
+      graft.similarity.Quantize.signSignature(
+        Tables.load(s, dir, "embeddings")), maxHamming = 18),
+    Some(signSigCte + raw""",
+      sp AS (SELECT vec_id, sig, b AS band_idx,
+               (sig >> CAST(b * 9 AS INT)) % 512 AS band_val
+             FROM sig, unnest(range(0, 7)) AS u(b))
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sp a JOIN sp b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 18"""))
+
+  val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
+    hamming)
 }

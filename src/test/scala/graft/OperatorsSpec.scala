@@ -60,6 +60,45 @@ class OperatorsSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("Quantize.int8Profile: absmax scheme on known vectors, zero-vector guard") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Quantize.int8Profile(emb)
+      .select("vec_id", "dim", "scale_r", "q_checksum", "max_abs_err")
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1)
+    // v1: scale 0.5 → q = [127, -64, 0] → checksum 127·1 − 64·2 = −1
+    assert(out(0)._2 == 3L && out(0)._3 == 0.5 && out(0)._4 == -1L)
+    assert(math.abs(out(0)._5 - (64.0 * 0.5 / 127 - 0.25)) < 1e-6)
+    // zero vector: all-zero quantization, zero error, no div-by-zero
+    assert(out(1) == ((2L, 3L, 0.0, 0L, 0.0)))
+  }
+
+  test("Quantize.hammingPairs: exact recall vs brute force for dist <= 6") {
+    // base vector all-positive; variants flip k sign dims (within the 63
+    // used bits); k=3,5 are pairs with the base, k=20 is out of range
+    def vec(flips: Set[Int]): Seq[Float] =
+      (0 until 64).map(i => if (flips(i)) -1.0f else 1.0f)
+    val emb = Seq(
+      (0L, vec(Set.empty), 0), (1L, vec(Set(2, 7, 40)), 0),
+      (2L, vec((0 until 5).toSet), 0), (3L, vec((0 until 20).toSet), 0))
+      .toDF("vec_id", "embedding", "label")
+    val sigs = graft.similarity.Quantize.signSignature(emb)
+    val got = graft.similarity.Quantize.hammingPairs(sigs, maxHamming = 6)
+      .select("va", "vb", "hamming").as[(Long, Long, Long)].collect().toSet
+    // brute-force ground truth over the collected signatures
+    val s = sigs.as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- s.keys; b <- s.keys if a < b
+      d = java.lang.Long.bitCount(s(a) ^ s(b)) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want && want.nonEmpty)
+    // sanity: the hamming distances are the flip counts
+    assert(got.contains((0L, 1L, 3L)) && got.contains((0L, 2L, 5L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("DisjunctiveJoin rewrite ≡ verbatim OR-join") {
     val l = spark.read.parquet(s"$sf/customer.parquet")
     val r = spark.read.parquet(s"$sf/supplier.parquet")
