@@ -321,7 +321,155 @@ object AnalyticsQueries {
       FROM w JOIN clicks c ON c.ts >= w.w_start AND c.ts <= w.w_end
       GROUP BY w.signup_id"""))
 
+  /** SCD2 history build: collapse the per-customer order log into
+    * versioned priority intervals (see `operators/Scd`). Version numbers,
+    * validity bounds and run sizes are all hash-checked. */
+  private val scd2 = Q("q_scd2_history",
+    (s, dir) => graft.operators.Scd.history(
+      Tables.load(s, dir, "orders"),
+      key = col("o_custkey"),
+      orderCols = Seq(col("o_orderdate"), col("o_orderkey")),
+      tracked = Seq(col("o_orderpriority"))),
+    Some("""
+      WITH m AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+          CASE WHEN row_number() OVER win = 1
+                 OR o_orderpriority IS DISTINCT FROM
+                    lag(o_orderpriority) OVER win
+               THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW win AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)),
+      v AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+          CAST(sum(chg) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS version
+        FROM m),
+      runs AS (
+        SELECT o_custkey, version, o_orderpriority,
+          min(o_orderdate) AS valid_from, count(*) AS n_rows
+        FROM v GROUP BY o_custkey, version, o_orderpriority)
+      SELECT o_custkey, version, o_orderpriority, valid_from, n_rows,
+        lead(valid_from) OVER w2 AS valid_to,
+        lead(valid_from) OVER w2 IS NULL AS is_current
+      FROM runs
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)"""))
+
+  /** Dense-grid resample with carry-forward (see `operators/Resample`):
+    * per-user hourly buckets, gaps filled with the last observed value. */
+  private val resample = Q("q_resample_gap_fill",
+    (s, dir) => graft.operators.Resample.gapFillHourly(
+        Tables.load(s, dir, "events"),
+        key = col("user_id"), ts = col("ts"), value = col("value"))
+      .withColumnRenamed("k", "user_id"),
+    Some("""
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+          CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS v,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id,
+          unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR))
+            AS hour
+        FROM hourly GROUP BY user_id),
+      j AS (
+        SELECT s.user_id, s.hour, h.v, h.n
+        FROM spine s LEFT JOIN hourly h USING (user_id, hour))
+      SELECT user_id, hour, coalesce(n, 0) AS n_events,
+        v IS NULL AS is_gap,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      FROM j"""))
+
+  /** Unpivot/melt: wide per-flag metrics to long (metric, value) rows —
+    * the inverse of `q_agg_pivot`, via the native `Dataset.unpivot`
+    * (no UNION-of-selects re-scan: one pass, rows expand in place). */
+  private val unpivot = Q("q_agg_unpivot",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast("double").as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "metric", "value"),
+    Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(count(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM w
+      UNION ALL
+      SELECT l_returnflag, 'n_rows', n_rows FROM w"""))
+
+  /** Explicit GROUPING SETS (the general form under rollup/cube) with
+    * per-column grouping flags — one shuffle computes all three
+    * granularities. */
+  private val groupingSets = Q("q_agg_grouping_sets",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(l_quantity) AS sum_qty,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), ())"""))
+
+  /** Morton/Z-order clustering key over the two hottest lineitem filter
+    * columns (see `functions/ZOrder`) — the write-path layout that keeps
+    * parquet min/max stats tight on both dimensions. The key arithmetic
+    * itself is hash-checked; the clustered write is exercised in
+    * ZOrderSpec. */
+  private val zorder = Q("q_zorder_key",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.functions.ZOrder.interleave16(
+          col("l_partkey"), col("l_suppkey")).as("zkey"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+        FROM lineitem),
+      s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+                       (y0 | (y0 << 8)) & 16711935 AS y1 FROM b),
+      s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+                       (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+      s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+                       (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+      s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+                       (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        x4 | (y4 << 1) AS zkey
+      FROM s4"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
-    rangeJoin, rangeJoinUnkeyed)
+    rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
+    zorder)
 }

@@ -389,7 +389,27 @@ object CurationQueries {
           greatest(start_offset, u.seq_id * 128) AS tokens_in_seq
       FROM pk, unnest(range(seq_first, seq_last + 1)) AS u(seq_id)"""))
 
+  /** Consecutive-token run collapse (repetition scrub) — removal counts,
+    * ratio, and the md5 of the cleaned text are all hash-checked. */
+  private val runCollapse = Q("q_text_run_collapse",
+    (s, dir) => Curation.collapseTokenRuns(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text")),
+    Some(raw"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      k AS (SELECT doc_id, toks,
+          list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+        FROM t)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+        round(CAST(len(toks) - len(kept) AS DOUBLE) /
+          CAST(len(toks) AS DOUBLE), 6) AS removed_ratio,
+        md5(array_to_string(kept, ' ')) AS clean_md5
+      FROM k"""))
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
-    curationPipeline, decontaminate, pack, packScalable, packManifest)
+    curationPipeline, decontaminate, pack, packScalable, packManifest,
+    runCollapse)
 }

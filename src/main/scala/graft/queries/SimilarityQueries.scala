@@ -172,6 +172,44 @@ object SimilarityQueries {
        AND a.vec_id < b.vec_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 18"""))
 
+  /** Higher-order array-function surface over the embedding column:
+    * indexed size, lambda filter/exists, element-wise transform, ordered
+    * left-fold (`aggregate`), and the codegen `dot_f64` against the
+    * reversed vector (`zip_with`-equivalent). Every form stays inside
+    * whole-stage codegen — the vector math never leaves the row — and
+    * each has an exact DuckDB list-lambda twin (`list_filter`/
+    * `list_transform`/`list_reduce`/`list_inner_product`), so the whole
+    * HOF surface is hash-checked. Folds are left-to-right in both
+    * engines with double accumulation, which makes them bit-comparable;
+    * log/cos-style outputs round to 6 dp per the established rule. */
+  private val hofSuite = Q("q_f_hof_suite",
+    (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      Tables.load(s, dir, "embeddings")
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .select(
+          col("vec_id"),
+          size(col("e")).cast("long").as("n_dims"),
+          size(filter(col("e"), x => x > 0)).cast("long").as("n_pos"),
+          exists(col("e"), x => x < lit(-0.5)).as("has_strong_neg"),
+          round(array_max(transform(col("e"), x => abs(x))), 6)
+            .as("max_abs"),
+          round(aggregate(col("e"), lit(0.0), (acc, x) => acc + abs(x)), 6)
+            .as("l1_norm"),
+          round(expr("dot_f64(e, reverse(e))"), 6).as("rev_dot"))
+    },
+    Some("""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      SELECT vec_id,
+        CAST(len(e) AS BIGINT) AS n_dims,
+        CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+        len(list_filter(e, x -> x < -0.5)) > 0 AS has_strong_neg,
+        round(list_max(list_transform(e, x -> abs(x))), 6) AS max_abs,
+        round(list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+          (a, b) -> a + b), 6) AS l1_norm,
+        round(list_inner_product(e, list_reverse(e)), 6) AS rev_dot
+      FROM p"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
-    hamming)
+    hamming, hofSuite)
 }

@@ -216,6 +216,28 @@ object SourceQueries {
       SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
       FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 1"""))
 
+  /** S11 (beyond-parity format): ORC sink + source roundtrip — the
+    * second columnar format Spark ships natively. Types survive exactly
+    * (no CSV-style inference repair needed); the read side prunes and
+    * pushes down the same way the parquet scans do. */
+  private val orcRoundtrip = Q("q_s11_orc_roundtrip",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s11_orc_roundtrip"
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderpriority")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .where(col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        o_orderpriority
+      FROM orders WHERE o_totalprice > 1000.0"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
-    partSink, catalog, partitions, reconcile, bucketed, schemaMerge)
+    partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
+    orcRoundtrip)
 }

@@ -117,6 +117,33 @@ object Curation {
       .drop("__h")
   }
 
+  /** Intra-document repetition scrub: collapse runs of consecutive
+    * identical tokens ("the the the" → "the") and report how much was
+    * removed. Machine-generated and boilerplate-heavy text shows up as a
+    * high removed-fraction, a standard pretraining quality signal; the
+    * collapse itself cleans the surviving text.
+    *
+    * Pure per-row array expressions (split → indexed `filter` lambda →
+    * rejoin) — whole-stage codegen, zero shuffles, trivially linear at
+    * 100 TB. The `when` guard keeps the 1-based `element_at` lookback
+    * off the first token (ANSI mode errors on index 0, and CaseWhen
+    * branches evaluate lazily).
+    */
+  def collapseTokenRuns(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    // filter's index is 0-based; element_at is 1-based, so element_at(toks, i)
+    // IS the previous token
+    val kept = filter(toks, (x, i) =>
+      when(i === 0, lit(true)).otherwise(x =!= element_at(toks, i)))
+    docs.select(
+      id.as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"),
+      round((size(toks) - size(kept)).cast("double") /
+        size(toks).cast("double"), 6).as("removed_ratio"),
+      md5(concat_ws(" ", kept)).as("clean_md5"))
+  }
+
   // ------------------------------------------------------- sequence packing
 
   /** Token count + deterministic shuffle key per document — the shared
