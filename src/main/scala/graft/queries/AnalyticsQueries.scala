@@ -468,8 +468,109 @@ object AnalyticsQueries {
         x4 | (y4 << 1) AS zkey
       FROM s4"""))
 
+  /** MERGE/upsert (see `operators/Merge`): updates touch every third
+    * order, inserts land under fresh keys, the rest of the target
+    * survives. The engine runs the single-shuffle union+top-1 form; the
+    * oracle is the independent textbook FULL OUTER JOIN — two different
+    * algorithms, one hash. */
+  private val mergeUpsert = Q("q_merge_upsert",
+    (s, dir) => {
+      val t = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val upd = t.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+      val ins = t.where(col("o_orderkey") % 7 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      graft.operators.Merge.upsert(t, upd.unionByName(ins), Seq("o_orderkey"))
+    },
+    Some("""
+      WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                 FROM orders),
+      u AS (
+        SELECT o_orderkey, o_totalprice + 10 AS o_totalprice,
+          o_orderpriority
+        FROM t WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice, o_orderpriority
+        FROM t WHERE o_orderkey % 7 = 1)
+      SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        CASE WHEN u.o_orderkey IS NOT NULL
+             THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        CASE WHEN u.o_orderkey IS NOT NULL
+             THEN u.o_orderpriority ELSE t.o_orderpriority END
+          AS o_orderpriority
+      FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey"""))
+
+  /** CDC apply (see `operators/Merge.applyChanges`): one change feed
+    * carrying updates, inserts AND delete tombstones, applied in a
+    * single shuffle. Delete keys are kept disjoint from update keys —
+    * the standard one-row-per-key CDC precondition. */
+  private val mergeCdc = Q("q_merge_cdc_apply",
+    (s, dir) => {
+      val t = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val upd = t.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("is_deleted", lit(false))
+      val ins = t.where(col("o_orderkey") % 7 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("is_deleted", lit(false))
+      val del = t.where(col("o_orderkey") % 5 === 2 &&
+          col("o_orderkey") % 3 =!= 0)
+        .withColumn("is_deleted", lit(true))
+      graft.operators.Merge.applyChanges(t,
+        upd.unionByName(ins).unionByName(del),
+        Seq("o_orderkey"), "is_deleted")
+    },
+    Some("""
+      WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                 FROM orders),
+      u AS (
+        SELECT o_orderkey, o_totalprice + 10 AS o_totalprice,
+          o_orderpriority
+        FROM t WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice, o_orderpriority
+        FROM t WHERE o_orderkey % 7 = 1),
+      d AS (SELECT o_orderkey FROM t
+            WHERE o_orderkey % 5 = 2 AND o_orderkey % 3 <> 0)
+      SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        CASE WHEN u.o_orderkey IS NOT NULL
+             THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        CASE WHEN u.o_orderkey IS NOT NULL
+             THEN u.o_orderpriority ELSE t.o_orderpriority END
+          AS o_orderpriority
+      FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+      WHERE coalesce(u.o_orderkey, t.o_orderkey) NOT IN
+        (SELECT o_orderkey FROM d)"""))
+
+  /** Statistical aggregate surface: correlation, covariance, sample
+    * stddev/variance per group. Computed over the small-magnitude
+    * columns (quantity <= 50, discount <= 0.1) where both engines'
+    * one-pass co-moment algorithms agree well inside the 6-dp round. */
+  private val stats = Q("q_agg_stats",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_discount")), 6)
+            .as("corr_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            .as("cov_qd"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty")),
+    Some("""
+      SELECT l_returnflag,
+        round(corr(l_quantity, l_discount), 6) AS corr_qd,
+        round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+        round(stddev_samp(l_quantity), 6) AS sd_qty,
+        round(var_samp(l_discount), 6) AS var_disc,
+        round(avg(l_quantity), 6) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
-    zorder)
+    zorder, mergeUpsert, mergeCdc, stats)
 }

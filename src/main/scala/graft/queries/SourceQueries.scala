@@ -237,7 +237,40 @@ object SourceQueries {
         o_orderpriority
       FROM orders WHERE o_totalprice > 1000.0"""))
 
+  /** S7 (path form): JSON-path extraction from an embedded JSON string
+    * column — both the schemaless `get_json_object` probe and the typed
+    * `from_json` parse, side by side (the two ways a pipeline lifts
+    * semi-structured props without a staging hop). */
+  private val jsonPath = Q("q_s7_json_path",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          from_json(col("props"), "k BIGINT",
+            Map.empty[String, String]).getField("k").as("k_typed")),
+    Some("""
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+      FROM events"""))
+
+  /** S2 (size-managed form): compaction write — range-partitioned,
+    * sorted, row-capped files (`Sinks.compactWrite`) read back through
+    * partition discovery. The value hash-checks the roundtrip; the
+    * file-count/size bounds are asserted in LayoutTemporalSpec. */
+  private val compactSink = Q("q_s2_compact_sink",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s2_compact_sink"
+      Sinks.compactWrite(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        path, col("doc_id"), nPartitions = 4, maxRecordsPerFile = 100L)
+      s.read.parquet(path).select("doc_id", "source", "n_chars")
+    },
+    Some("SELECT doc_id, source, n_chars FROM documents"))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
     partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
-    orcRoundtrip)
+    orcRoundtrip, jsonPath, compactSink)
 }

@@ -81,4 +81,20 @@ object Sinks {
   /** F16: stamp the snapshot timestamp column (`FULL:1447`). */
   def stampSnapshot(df: DataFrame, colName: String = "snapshot_dt"): DataFrame =
     df.withColumn(colName, current_timestamp())
+
+  /** Size-managed write: range-partition on a sort key, sort within
+    * partitions, and cap rows per file. This is the small-file /
+    * giant-file defense at 100 TB — `repartitionByRange` gives each task
+    * a contiguous, similar-sized key range (so file sizes stay uniform
+    * even under key skew) and `maxRecordsPerFile` splits any task that
+    * still exceeds the cap; the in-file sort keeps min/max stats tight
+    * for scan pruning. */
+  def compactWrite(df: DataFrame, target: String,
+      sortKey: org.apache.spark.sql.Column, nPartitions: Int,
+      maxRecordsPerFile: Long): Unit =
+    df.repartitionByRange(nPartitions, sortKey)
+      .sortWithinPartitions(sortKey)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(target)
 }

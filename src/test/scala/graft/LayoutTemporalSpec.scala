@@ -95,6 +95,47 @@ class LayoutTemporalSpec extends SparkSuite {
     assert(area < 0.4 * 16 * 256 * 256, s"total bounding area $area")
   }
 
+  test("Merge.upsert: updates win, inserts land, untouched rows survive") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val out = graft.operators.Merge.upsert(target, updates, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
+  test("Merge.applyChanges deletes tombstoned keys, ignores missing ones") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", false),  // update
+      (3L, "c", true),   // delete existing
+      (4L, "D", false),  // insert
+      (9L, "x", true))   // delete of a key not in the target: no-op
+      .toDF("k", "v", "is_deleted")
+    val out = graft.operators.Merge.applyChanges(target, changes,
+        Seq("k"), "is_deleted")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (4L, "D")))
+  }
+
+  test("compactWrite caps rows per file and keeps ranges contiguous") {
+    import graft.sources.Sinks
+    val path = "/root/repo/target/stage/test_compact_write"
+    Sinks.compactWrite(spark.range(500).toDF("id"), path,
+      col("id"), nPartitions = 4, maxRecordsPerFile = 100L)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+      .select("n", "lo", "hi").as[(Long, Long, Long)].collect()
+    assert(perFile.length >= 5) // 500 rows / 100-cap needs at least 5 files
+    perFile.foreach { case (n, _, _) => assert(n <= 100) }
+    // files tile the range without overlap: sorted spans are disjoint
+    val spans = perFile.map(r => (r._2, r._3)).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("collapseTokenRuns removes only consecutive duplicates") {
     val docs = Seq(
       (1L, "a a a b b a"), (2L, "solo"), (3L, ""))
