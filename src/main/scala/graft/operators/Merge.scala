@@ -30,6 +30,16 @@ object Merge {
       .drop("__src")
   }
 
+  /** Order-independent upsert: the winner per key is the row greatest
+    * under `order` across target ∪ changes, NOT simply the newest
+    * arrival. This is the form a streaming materialization needs —
+    * batches may replay or arrive out of order, and latest-by-event-time
+    * converges to the same state regardless (same single-shuffle plan as
+    * [[upsert]]). `order` must totally order rows within a key. */
+  def latestBy(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    TopK.top1PerKey(target.unionByName(changes), keys.map(col), order)
+
   /** CDC apply: like [[upsert]], but change rows flagged by
     * `deleteFlag` (a boolean column on `changes`) REMOVE the key from
     * the result. The flag rides through the same single shuffle; the

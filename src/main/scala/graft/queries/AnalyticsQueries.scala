@@ -569,8 +569,34 @@ object AnalyticsQueries {
         round(avg(l_quantity), 6) AS avg_qty
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Event-time RANGE window: trailing-hour rolling count/sum per user —
+    * the range frame peers on seconds-since-epoch, not row position, so
+    * bursts and quiet stretches weight correctly. Second-truncated in
+    * both engines (Spark's timestamp→long cast floors; the oracle floors
+    * epoch() explicitly). */
+  private val windowTimeRange = Q("q_window_time_range",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_trailing_hr"),
+          sum(col("value").cast(DecimalType(14, 4))).over(w)
+            .cast("double").as("sum_trailing_hr"))
+    },
+    Some("""
+      SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_trailing_hr,
+        CAST(sum(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE)
+          AS sum_trailing_hr
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
-    zorder, mergeUpsert, mergeCdc, stats)
+    zorder, mergeUpsert, mergeCdc, stats, windowTimeRange)
 }

@@ -310,7 +310,23 @@ object PipelineQueries {
       SELECT event_type, count(DISTINCT event_id) AS n_unique
       FROM events GROUP BY event_type"""))
 
+  /** Streaming MERGE materialization (multi-batch upsert into versioned
+    * state, latest by event time) — oracle is the batch latest-per-user
+    * window, which the converged state must equal exactly. */
+  private val streamMerge = Q("q_stream_merge_sink",
+    (s, dir) => graft.streaming.EventsStream.mergeSink(s, dir,
+      "/root/repo/target/stage/q_stream_merge_sink"),
+    Some("""
+      WITH r AS (
+        SELECT user_id, ts, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        value AS last_value
+      FROM r WHERE rn = 1"""))
+
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
-    flagship, flagshipFlat, outbound, outboundFlat)
+    streamMerge, flagship, flagshipFlat, outbound, outboundFlat)
 }

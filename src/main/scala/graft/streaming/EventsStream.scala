@@ -145,6 +145,67 @@ object EventsStream {
     spark.read.parquet(outPath)
   }
 
+  /** Streaming MERGE materialization: maintain a latest-state-per-user
+    * table from the event stream by upserting every micro-batch — the
+    * streaming materialized view a warehouse builds without a table
+    * format's MERGE INTO.
+    *
+    * Mechanics: the source is staged into multiple files so
+    * `maxFilesPerTrigger=1` genuinely exercises the multi-batch path;
+    * each micro-batch runs `Merge.latestBy` (latest by EVENT time, so
+    * state converges to the same answer whatever order batches replay
+    * in) against the previous state version and writes an immutable new
+    * version directory — read-then-overwrite of live parquet is a
+    * self-read race, versioned snapshots are the safe idempotent form
+    * (and what table formats do underneath). State size is one row per
+    * key; each batch's merge is one key shuffle.
+    */
+  def mergeSink(spark: SparkSession, dir: String, workPath: String): DataFrame = {
+    import graft.operators.Merge
+    // fresh run: versioned state + checkpoint are per-invocation scratch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workPath), true)
+    val srcPath = s"$workPath/src"
+    graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("chunk", pmod(col("event_id"), lit(4)).cast("int"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(srcPath)
+    val stagedSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("chunk", IntegerType))) // hive-style partition column
+    val stream = spark.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val changes = batch.select(
+          col("user_id"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"), col("value").as("last_value"))
+        val target = latest match {
+          case Some(p) => spark.read.parquet(p)
+          case None => changes.limit(0)
+        }
+        val next = s"$workPath/state/v$batchId"
+        Merge.latestBy(target, changes, Seq("user_id"),
+            Seq(col("last_ts").desc, col("last_event_id").desc))
+          .write.mode("overwrite").parquet(next)
+        latest = Some(next)
+      }
+      .option("checkpointLocation", s"$workPath/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest.getOrElse(
+      sys.error("mergeSink: stream produced no batches")))
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (users → nation decode via customer) — the streaming
     * analogue of the decode star. The static side is re-read per

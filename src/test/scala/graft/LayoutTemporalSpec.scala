@@ -117,6 +117,22 @@ class LayoutTemporalSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (4L, "D")))
   }
 
+  test("Merge.latestBy converges to the same state in any batch order") {
+    import graft.operators.Merge
+    // k=1 sees an out-of-order replay: the older t=5 change arrives AFTER
+    // the t=10 one in the second ordering — event-time order must win
+    val b1 = Seq((1L, 10L, "new")).toDF("k", "t", "v")
+    val b2 = Seq((1L, 5L, "old"), (2L, 1L, "z")).toDF("k", "t", "v")
+    val empty = b1.limit(0)
+    val order = Seq(col("t").desc, col("v").desc)
+    val fwd = Merge.latestBy(Merge.latestBy(empty, b1, Seq("k"), order),
+      b2, Seq("k"), order).as[(Long, Long, String)].collect().sortBy(_._1)
+    val rev = Merge.latestBy(Merge.latestBy(empty, b2, Seq("k"), order),
+      b1, Seq("k"), order).as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(fwd.toSeq == Seq((1L, 10L, "new"), (2L, 1L, "z")))
+    assert(rev.toSeq == fwd.toSeq)
+  }
+
   test("compactWrite caps rows per file and keeps ranges contiguous") {
     import graft.sources.Sinks
     val path = "/root/repo/target/stage/test_compact_write"
