@@ -595,8 +595,34 @@ object AnalyticsQueries {
         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""))
 
+  /** Incremental view maintenance: per-user totals kept fresh by merging
+    * yesterday's aggregate STATE with a partial aggregate of only the new
+    * rows — count/sum are algebraic, so re-aggregating partials equals
+    * aggregating from scratch (the oracle computes the from-scratch
+    * form). At 100 TB this is the difference between touching the delta
+    * and rescanning the corpus; the decimal carrier keeps the merged sum
+    * bit-equal to the direct one. */
+  private val ivm = Q("q_ivm_merge",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(14, 4))).as("sv"))
+      val state = partial(ev.where(dayofmonth(col("ts")) <= 15))
+      val delta = partial(ev.where(dayofmonth(col("ts")) > 15))
+      state.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
-    zorder, mergeUpsert, mergeCdc, stats, windowTimeRange)
+    zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm)
 }

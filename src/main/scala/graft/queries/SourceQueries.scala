@@ -270,7 +270,47 @@ object SourceQueries {
     },
     Some("SELECT doc_id, source, n_chars FROM documents"))
 
+  /** S7 (resilience form): malformed-record-tolerant JSON ingest.
+    * Every tenth line of the staged feed is truncated mid-object;
+    * PERMISSIVE mode quarantines those into `_corrupt_record` instead of
+    * failing the job — the posture a 100 TB ingest needs, where some
+    * malformed input is a certainty and one bad line must not kill a
+    * thousand-executor read. The good/quarantined split is hash-checked
+    * against the staging rule. */
+  private val jsonCorrupt = Q("q_s7_json_corrupt",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s7_json_corrupt"
+      Tables.load(s, dir, "events")
+        .select(when(col("event_id") % 10 === 0,
+            // truncated mid-object: unparseable on read
+            concat(lit("""{"event_id": """), col("event_id"),
+              lit(""", "value""")))
+          .otherwise(
+            concat(lit("""{"event_id": """), col("event_id"),
+              lit(""", "value": """), col("value"), lit("}")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("event_id LONG, value DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .agg(
+          count(col("event_id")).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull,
+              col("value").cast(DecimalType(14, 4))))
+            .cast("double").as("sum_good_value"))
+    },
+    Some("""
+      SELECT
+        count(*) FILTER (WHERE event_id % 10 <> 0) AS n_good,
+        count(*) FILTER (WHERE event_id % 10 = 0) AS n_corrupt,
+        CAST(sum(CAST(value AS DECIMAL(14,4)))
+          FILTER (WHERE event_id % 10 <> 0) AS DOUBLE) AS sum_good_value
+      FROM events"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
     partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
-    orcRoundtrip, jsonPath, compactSink)
+    orcRoundtrip, jsonPath, compactSink, jsonCorrupt)
 }
