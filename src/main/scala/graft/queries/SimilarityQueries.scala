@@ -175,8 +175,9 @@ object SimilarityQueries {
   /** Higher-order array-function surface over the embedding column:
     * indexed size, lambda filter/exists, element-wise transform, ordered
     * left-fold (`aggregate`), and the codegen `dot_f64` against the
-    * reversed vector (`zip_with`-equivalent). Every form stays inside
-    * whole-stage codegen — the vector math never leaves the row — and
+    * reversed vector (`zip_with`-equivalent). Every form is a narrow
+    * per-row expression — the vector math never leaves the row (the
+    * lambda forms are CodegenFallback, `dot_f64` is codegen) — and
     * each has an exact DuckDB list-lambda twin (`list_filter`/
     * `list_transform`/`list_reduce`/`list_inner_product`), so the whole
     * HOF surface is hash-checked. Folds are left-to-right in both

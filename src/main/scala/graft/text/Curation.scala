@@ -124,10 +124,13 @@ object Curation {
     * collapse itself cleans the surviving text.
     *
     * Pure per-row array expressions (split → indexed `filter` lambda →
-    * rejoin) — whole-stage codegen, zero shuffles, trivially linear at
-    * 100 TB. The `when` guard keeps the 1-based `element_at` lookback
-    * off the first token (ANSI mode errors on index 0, and CaseWhen
-    * branches evaluate lazily).
+    * rejoin) — zero shuffles, trivially linear at 100 TB. Spark's
+    * higher-order functions evaluate as CodegenFallback, so the stage is
+    * a narrow interpreted Project rather than codegen — fine here, the
+    * work is O(tokens) either way (plan-asserted in PlanSpec). The
+    * `when` guard keeps the 1-based `element_at` lookback off the first
+    * token (ANSI mode errors on index 0, and CaseWhen branches evaluate
+    * lazily).
     */
   def collapseTokenRuns(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = split(text, " ")

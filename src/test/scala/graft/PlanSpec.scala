@@ -103,4 +103,41 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
       plan.take(800))
   }
+
+  test("MERGE upsert is join-free: one key shuffle + group-limit window") {
+    val p = planOf("q_merge_upsert")
+    assert(!p.contains("Join"), p.take(1200)) // union+top-1, never a join
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("Exchange hashpartitioning(o_orderkey"), p.take(1200))
+  }
+
+  test("z-order key and token-run collapse are exchange-free narrow plans") {
+    // the Morton key is bitwise builtins only, so it also stays inside
+    // whole-stage codegen ("*(n)" is toString's codegen stage marker);
+    // the token collapse uses higher-order array lambdas, which Spark
+    // evaluates as CodegenFallback — still a single narrow Project
+    val z = planOf("q_zorder_key")
+    assert(!z.contains("Exchange"), z.take(1200))
+    assert(z.contains("*(1) Project"), z.take(1200))
+    val c = planOf("q_text_run_collapse")
+    assert(!c.contains("Exchange"), c.take(1200))
+    assert(c.contains("Project"), c.take(1200))
+  }
+
+  test("SCD2 build is join-free and only ever hashes on the entity key") {
+    val p = planOf("q_scd2_history")
+    assert(!p.contains("Join"), p.take(1200))
+    // every exchange is key-prefixed: windows on (o_custkey), the run
+    // collapse on (o_custkey, version, ...) — nothing reshuffles on a
+    // foreign key
+    assert("hashpartitioning\\((?!o_custkey)".r.findFirstIn(p).isEmpty,
+      p.take(1200))
+  }
+
+  test("time-range window shuffles once, on the series key") {
+    val p = planOf("q_window_time_range")
+    assert(p.contains("Exchange hashpartitioning(user_id"), p.take(1200))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      p.take(1200))
+  }
 }
