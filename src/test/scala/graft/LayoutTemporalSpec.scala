@@ -73,6 +73,26 @@ class LayoutTemporalSpec extends SparkSuite {
     assert(df.filter(col("z") =!= col("expect")).count() == 0)
   }
 
+  test("interleave16 roundtrips: deinterleaving recovers both coordinates") {
+    // inverse ladder in plain Scala: if any spread/mask stage in the
+    // Column form were off by a bit, some (x, y) here would not survive
+    def unspread(v: Long): Long = {
+      var x = v & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      (x | (x >> 8)) & 0x0000FFFFL
+    }
+    val rows = spark.range(1000).select(
+      (col("id") * 31 % 65536).as("x"),
+      (col("id") * 2654435761L % 65536).as("y"))
+      .withColumn("z", ZOrder.interleave16(col("x"), col("y")))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (x, y, z) =>
+      assert(unspread(z) == x && unspread(z >> 1) == y, s"($x,$y,$z)")
+    }
+  }
+
   test("clusterByZ bounds BOTH dimensions across output partitions") {
     // Full 256x256 grid into 16 z-ranges ~= 16 64x64 tiles. Sampled range
     // boundaries straddle tile edges (and the z-curve's quadrant seams),
