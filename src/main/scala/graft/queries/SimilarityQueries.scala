@@ -211,6 +211,57 @@ object SimilarityQueries {
         round(list_inner_product(e, list_reverse(e)), 6) AS rev_dot
       FROM p"""))
 
+  /** Shared PQ oracle head: sub-vector slices, the deterministic
+    * codebook, and the per-(vector, subspace) nearest-centroid codes —
+    * the same expression tree (ip(a,a) - 2·ip(a,b) + ip(b,b), centroid
+    * tiebreak) as `Pq.encode`. */
+  private val pqCte = raw"""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      sub AS (SELECT vec_id, s, e[s*8+1 : s*8+8] AS v
+              FROM p, unnest(range(0, 8)) AS u(s)),
+      cb AS (SELECT vec_id AS cid, s, v AS cv FROM sub WHERE vec_id < 16),
+      enc AS (SELECT vec_id, s, cid AS code FROM (
+          SELECT sub.vec_id, sub.s, cb.cid,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+              list_inner_product(sub.v, sub.v)
+                - 2 * list_inner_product(sub.v, cb.cv)
+                + list_inner_product(cb.cv, cb.cv), cb.cid) AS rn
+          FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1)"""
+
+  /** PQ corpus encode: 64 floats → one packed 32-bit code (8 subspaces
+    * × 4-bit nearest-centroid id). */
+  private val pqCodes = Q("q_pq_codes",
+    (s, dir) => graft.similarity.Pq.encode(
+      Tables.load(s, dir, "embeddings")),
+    Some(pqCte + """
+      SELECT vec_id, CAST(sum(code << (4 * s)) AS BIGINT) AS pq_code
+      FROM enc GROUP BY vec_id"""))
+
+  /** PQ ADC scan: per-query LUT of query-to-centroid distances, corpus
+    * ranked by summed lookups — the decompression-free approximate
+    * search over the codes. */
+  private val pqAdc = Q("q_pq_adc_topk",
+    (s, dir) => graft.similarity.Pq.adcTopK(
+      Tables.load(s, dir, "embeddings"), s,
+      queryPred = col("vec_id") < 5, k = 10),
+    Some(pqCte + """,
+      lut AS (SELECT q.vec_id AS qid, q.s, cb.cid AS code,
+          CAST(list_inner_product(q.v, q.v)
+            - 2 * list_inner_product(q.v, cb.cv)
+            + list_inner_product(cb.cv, cb.cv) AS DECIMAL(24,12)) AS d
+        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
+      adc AS (SELECT lut.qid, enc.vec_id AS cid,
+          CAST(sum(lut.d) AS DOUBLE) AS adc
+        FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+        WHERE lut.qid <> enc.vec_id
+        GROUP BY lut.qid, enc.vec_id)
+      SELECT qid, cid, rank, round(adc, 6) AS adc_r FROM (
+        SELECT qid, cid, adc,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid)
+            AS BIGINT) AS rank
+        FROM adc)
+      WHERE rank <= 10"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
-    hamming, hofSuite)
+    hamming, hofSuite, pqCodes, pqAdc)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pq
+import graft.sources.Tables
+
+/** Product-quantization invariants at the smallest SF. */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("codebook vectors encode to their own centroid in every subspace") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val codes = Pq.encode(emb)
+      .where(col("vec_id") < 16)
+      .as[(Long, Long)].collect().toMap
+    // vec c's sub-vectors ARE centroid c: distance 0, tiebreak cid —
+    // so every 4-bit nibble must equal c (packed: c * 0x11111111)
+    for (c <- 0L until 16L)
+      assert(codes(c) == c * 0x11111111L,
+        s"centroid $c packed as ${codes(c).toHexString}")
+  }
+
+  test("packed codes stay within 32 bits") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val bad = Pq.encode(emb)
+      .where(col("pq_code") < 0 || col("pq_code") > 0xFFFFFFFFL)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("ADC ranking is dense, per-query, and monotone in distance") {
+    val out = Pq.adcTopK(Tables.load(spark, sf, "embeddings"), spark,
+        queryPred = col("vec_id") < 3, k = 5)
+      .select("qid", "cid", "rank", "adc_r")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    assert(out.keySet == Set(0L, 1L, 2L))
+    out.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to 5L)) // dense ranks
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq) // monotone
+      assert(!sorted.exists(r => r._2 == r._1)) // self excluded
+    }
+  }
+}
