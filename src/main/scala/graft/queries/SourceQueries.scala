@@ -310,7 +310,29 @@ object SourceQueries {
           FILTER (WHERE event_id % 10 <> 0) AS DOUBLE) AS sum_good_value
       FROM events"""))
 
+  /** File-level data skipping over a z-ordered layout: cluster lineitem
+    * by the Morton key of (partkey, suppkey), build the min/max manifest
+    * on partkey, and answer a selective partkey range by opening only
+    * intersecting files (`DataSkipping`). The result is exactly the
+    * predicate's rows — pruning is IO-only — and the skip ratio itself
+    * is asserted in LayoutTemporalSpec. */
+  private val prunedScan = Q("q_skip_pruned_scan",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_skip_pruned_scan"
+      graft.functions.ZOrder.clusterByZ(
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          col("l_partkey"), col("l_suppkey"), 16)
+        .write.mode("overwrite").parquet(path)
+      graft.sources.DataSkipping
+        .rangeScan(s, path, "l_partkey", lo = 100L, hi = 500L)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      FROM lineitem WHERE l_partkey BETWEEN 100 AND 500"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
     partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
-    orcRoundtrip, jsonPath, compactSink, jsonCorrupt)
+    orcRoundtrip, jsonPath, compactSink, jsonCorrupt, prunedScan)
 }

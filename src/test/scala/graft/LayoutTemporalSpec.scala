@@ -172,6 +172,25 @@ class LayoutTemporalSpec extends SparkSuite {
     }
   }
 
+  test("z-ordered layout + manifest pruning opens a fraction of the files") {
+    import graft.sources.DataSkipping
+    val path = "/root/repo/target/stage/test_skip_pruned"
+    // 64k rows over a 256x256 key grid, clustered on the Morton key
+    val grid = spark.range(256L * 256L)
+      .select(col("id"), (col("id") % 256).as("x"),
+        (col("id") / 256).cast("long").as("y"))
+    ZOrder.clusterByZ(grid, col("x"), col("y"), 16)
+      .write.mode("overwrite").parquet(path)
+    val stats = DataSkipping.fileStats(spark, path, "x")
+    val (df, opened, listed) = DataSkipping.prunedRead(spark, stats, "x",
+      lo = 10L, hi = 40L)
+    // correctness: exactly the predicate's rows survive
+    assert(df.count() == 31L * 256L)
+    // the point of the layout: a selective x-range touches few files
+    assert(listed == 16, s"expected 16 files, listed $listed")
+    assert(opened <= listed / 2, s"opened $opened of $listed")
+  }
+
   test("collapseTokenRuns removes only consecutive duplicates") {
     val docs = Seq(
       (1L, "a a a b b a"), (2L, "solo"), (3L, ""))
