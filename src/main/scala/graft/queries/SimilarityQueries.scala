@@ -262,6 +262,52 @@ object SimilarityQueries {
         FROM adc)
       WHERE rank <= 10"""))
 
+  /** One Lloyd assignment round in oracle SQL: nearest centroid from
+    * `cSrc`, ties on cid — the same expression tree as `Kmeans.assign`. */
+  private def kmAssign(cSrc: String): String = s"""
+      (SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+          ORDER BY list_inner_product(p.e, p.e)
+            - 2 * list_inner_product(p.e, c.cv)
+            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+        FROM p, $cSrc c) WHERE rn = 1)"""
+
+  /** One recenter round in oracle SQL: per-(cluster, dim) decimal-exact
+    * means re-assembled into ordered centroid lists. */
+  private def kmRecenter(aSrc: String): String = s"""
+      (SELECT cid, list(m ORDER BY pos) AS cv, max(n) AS n_members FROM
+        (SELECT cid, pos,
+           CAST(sum(CAST(e[pos] AS DECIMAL(24,12))) AS DOUBLE) / count(*)
+             AS m,
+           count(*) AS n
+         FROM $aSrc a JOIN p USING (vec_id),
+           unnest(range(1, len(e) + 1)) AS u(pos)
+         GROUP BY cid, pos)
+       GROUP BY cid)"""
+
+  /** Deterministic Lloyd k-means (k=8, 2 iterations) — both engines walk
+    * the same centroid trajectory, checked on membership counts and
+    * 6-dp centroid scalars. */
+  private val kmeans = Q("q_kmeans_fit",
+    (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      graft.similarity.Kmeans.fit(
+          Tables.load(s, dir, "embeddings"), k = 8, iters = 2)
+        .select(col("cid"), col("n_members"),
+          round(element_at(col("cv"), 1), 6).as("c0_r"),
+          round(sqrt(expr("dot_f64(cv, cv)")), 6).as("norm_r"))
+    },
+    Some(s"""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, e AS cv FROM p WHERE vec_id < 8),
+      a1 AS ${kmAssign("c0")},
+      c1 AS ${kmRecenter("a1")},
+      a2 AS ${kmAssign("c1")},
+      c2 AS ${kmRecenter("a2")}
+      SELECT cid, n_members, round(cv[1], 6) AS c0_r,
+        round(sqrt(list_inner_product(cv, cv)), 6) AS norm_r
+      FROM c2"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
-    hamming, hofSuite, pqCodes, pqAdc)
+    hamming, hofSuite, pqCodes, pqAdc, kmeans)
 }

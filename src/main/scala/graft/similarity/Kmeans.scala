@@ -1,0 +1,70 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.CacheScope
+
+/** Lloyd's k-means as pure dataflow — the codebook trainer the IVF/PQ
+  * docs point at (`Knn.ivfTopK`, `Pq`), kept fully deterministic so the
+  * oracle gate can check it: centroids seed from the first k vectors,
+  * the iteration count is fixed, assignment ties break on centroid id,
+  * and recentering sums run through DECIMAL(24,12) so the means are
+  * partial-agg-order-exact. Given identical inputs both engines walk
+  * identical centroid trajectories — k-means is chaotic only across
+  * SEEDS, not within one deterministic run.
+  *
+  * Scale posture per iteration: assign is corpus × broadcast(k
+  * centroids) + a top-1 window on vec_id (one shuffle); recenter is a
+  * posexplode to (cluster, dim) — corpus × dims rows, the same width a
+  * feature matrix already has — aggregated in one shuffle on
+  * (cluster, dim). Centroid frames are k rows: persisted, broadcast,
+  * never a bottleneck. Empty clusters drop out (standard Lloyd); k can
+  * only shrink.
+  */
+object Kmeans {
+
+  private def l2sq(a: String, b: String) =
+    expr(s"dot_f64($a, $a) - 2 * dot_f64($a, $b) + dot_f64($b, $b)")
+
+  /** Nearest-centroid assignment: (vec_id, cid) — one row per vector. */
+  def assign(prepared: DataFrame, centroids: DataFrame): DataFrame = {
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(l2sq("e", "cv").asc, col("cid").asc)
+    prepared.crossJoin(broadcast(centroids))
+      .withColumn("__rn", row_number().over(byDist))
+      .where(col("__rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Run `iters` Lloyd rounds over the embedding column; returns the
+    * final centroids as (cid, cv, n_members) where `n_members` counts
+    * the assignment that produced each centroid. */
+  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, "k-means needs k > 0 and iters > 0")
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val p = CacheScope.persist(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    var cents = p.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("cv"),
+        lit(1L).as("n_members"))
+    for (_ <- 1 to iters) {
+      val asg = assign(p, cents.select(col("cid"), col("cv")))
+      cents = CacheScope.persist(
+        asg.join(p, "vec_id")
+          .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("x").cast("decimal(24,12)")).cast("double") /
+            count(lit(1))).as("m"),
+            count(lit(1)).as("n"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+            .as("cv"),
+            max(col("n")).as("n_members"))) // n identical across dims
+      cents.count() // materialize inside the loop: bounded lineage per round
+    }
+    cents
+  }
+}

@@ -29,6 +29,17 @@ class PqSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("Kmeans.fit partitions the whole corpus across <= k clusters") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = graft.similarity.Kmeans.fit(emb, k = 4, iters = 2)
+      .select(col("cid"), col("n_members"), size(col("cv")).as("d"))
+      .as[(Long, Long, Int)].collect()
+    assert(out.length <= 4 && out.nonEmpty)
+    assert(out.map(_._2).sum == emb.count()) // every vector assigned once
+    assert(out.forall(_._3 == 64))           // centroids keep the dim
+    assert(out.forall(r => r._1 >= 0 && r._1 < 4))
+  }
+
   test("ADC ranking is dense, per-query, and monotone in distance") {
     val out = Pq.adcTopK(Tables.load(spark, sf, "embeddings"), spark,
         queryPred = col("vec_id") < 3, k = 5)
