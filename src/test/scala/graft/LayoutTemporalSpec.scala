@@ -191,6 +191,41 @@ class LayoutTemporalSpec extends SparkSuite {
     assert(opened <= listed / 2, s"opened $opened of $listed")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key holding ~all left rows vs a uniform right side; with
+    // broadcast off and the skew thresholds lowered, AQE must mark the
+    // sort-merge join skewed and split the hot partition
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      val left = spark.range(200000)
+        .select( // ~3/4 of all rows pile onto key 0
+          when(col("id") % 4 =!= 0, lit(0L)).otherwise(col("id") % 500)
+            .as("k"),
+          concat(lit("x"), col("id")).as("pad"))
+      val right = spark.range(500).select(col("id").as("k"),
+        col("id").cast("string").as("rv"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS frame's own query execution, so its
+      // adaptive plan finalizes (count() would plan separately)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("collapseTokenRuns removes only consecutive duplicates") {
     val docs = Seq(
       (1L, "a a a b b a"), (2L, "solo"), (3L, ""))
