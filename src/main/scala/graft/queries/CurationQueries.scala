@@ -389,6 +389,89 @@ object CurationQueries {
           greatest(start_offset, u.seq_id * 128) AS tokens_in_seq
       FROM pk, unnest(range(seq_first, seq_last + 1)) AS u(seq_id)"""))
 
+  /** The full raw-corpus → training-sequences composition, hash-checked
+    * end-to-end: near-dup dedup keeps one canonical doc per LSH/CC
+    * cluster → the held-out `src0` slice acts as the benchmark and every
+    * surviving non-benchmark doc is 3-gram-decontaminated against it
+    * (anti-join removal, so sub-n-gram shorties survive) → Gopher
+    * quality gate → deterministic-hash sequence packing. Each stage is
+    * individually oracle-proven elsewhere (`q_dedup_pipeline`,
+    * `q_decontaminate`, `q_quality_gopher`, `q_pack_sequences`); this
+    * entry pins the WIRING — a dropped stage, wrong threshold, or
+    * inner-vs-anti join slip changes the hash. */
+  private val pretrainPipeline = Q("q_pretrain_pipeline",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cc = Dedup.connectedComponents(Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingles(docs)))
+        .select(col("da"), col("db")))
+      val keepers = Dedup.canonicalPerCluster(docs, cc, qualityCol)
+        .select(col("keep_id").as("doc_id"))
+      val corpus = docs.join(keepers, "doc_id")
+        .where(col("source") =!= "src0")
+      val bench = docs.where(col("source") === "src0")
+      val clean = Decontaminate.removeContaminated(corpus, bench,
+        n = 3, rateThreshold = 0.2)
+      val gated = clean
+        .withColumn("keep", TextAnalysis.gopherMetrics(
+          10, 1000, 2.0, 10.0, 0.2, 0.2).last)
+        .filter(col("keep"))
+      Curation.packSequencesScalable(gated, seqLen = 128)
+    },
+    Some(componentsCte + raw""",
+      ql AS (SELECT doc_id, $qualitySqlExpr AS q FROM toks),
+      lab AS (SELECT ql.doc_id,
+                coalesce(comp.component, ql.doc_id) AS component, ql.q
+              FROM ql LEFT JOIN comp ON ql.doc_id = comp.doc_id),
+      win AS (SELECT doc_id, row_number() OVER (PARTITION BY component
+                ORDER BY q DESC, doc_id ASC) AS rn FROM lab),
+      keep AS (SELECT w.doc_id FROM win w JOIN documents d USING (doc_id)
+               WHERE w.rn = 1 AND d.source <> 'src0'),
+      bsh AS (SELECT DISTINCT
+                CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hh
+              FROM sh JOIN documents db USING (doc_id)
+              WHERE db.source = 'src0'),
+      csh AS (SELECT sh.doc_id,
+                CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hh
+              FROM sh JOIN keep USING (doc_id)),
+      cont AS (SELECT c.doc_id, count(*) AS n,
+                 sum(CASE WHEN b.hh IS NOT NULL THEN 1 ELSE 0 END) AS hits
+               FROM csh c LEFT JOIN bsh b USING (hh) GROUP BY 1),
+      clean AS (SELECT k.doc_id FROM keep k
+                WHERE k.doc_id NOT IN (SELECT doc_id FROM cont
+                  WHERE CAST(hits AS DOUBLE) / n >= 0.2)),
+      gm AS (SELECT toks.doc_id,
+          CAST(len(t) AS BIGINT) AS word_count,
+          CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS mean_word_len,
+          CAST(len(list_distinct(t)) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS distinct_ratio,
+          CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS top_token_frac,
+          ${TextQueries.hitsSql(TextAnalysis.enStops)} AS stop_hits
+        FROM toks JOIN clean USING (doc_id)),
+      gated AS (SELECT doc_id FROM gm
+        WHERE word_count >= 10 AND word_count <= 1000
+          AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+          AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
+          AND stop_hits >= 1),
+      ptoks AS (SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          $bucketSqlFull AS h
+        FROM toks JOIN gated USING (doc_id)),
+      pcum AS (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset
+        FROM ptoks),
+      ppk AS (SELECT doc_id, n_tokens, start_offset,
+          start_offset // 128 AS seq_first,
+          (start_offset + greatest(n_tokens, 1) - 1) // 128 AS seq_last
+        FROM pcum)
+      SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
+        seq_last - seq_first + 1 AS n_seqs
+      FROM ppk"""))
+
   /** Consecutive-token run collapse (repetition scrub) — removal counts,
     * ratio, and the md5 of the cleaned text are all hash-checked. */
   private val runCollapse = Q("q_text_run_collapse",
@@ -411,5 +494,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, pack, packScalable, packManifest,
-    runCollapse)
+    runCollapse, pretrainPipeline)
 }
