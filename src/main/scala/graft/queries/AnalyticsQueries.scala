@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.SkewOps
+import graft.operators.{Funnel, SkewOps}
 import graft.sources.Tables
 import graft.streaming.Sessionize
 
@@ -621,8 +621,55 @@ object AnalyticsQueries {
         CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY user_id"""))
 
+  /** Two-step funnel (see `operators/Funnel`): first signup per user,
+    * earliest click inside the following hour, conversion flag +
+    * latency. */
+  private val funnel = Q("q_funnel_conversion",
+    (s, dir) => Funnel.twoStep(
+        Tables.load(s, dir, "events"),
+        key = col("user_id"), ts = col("ts"),
+        isA = col("event_type") === "signup",
+        isB = col("event_type") === "click",
+        windowSeconds = 3600L)
+      .withColumnRenamed("k", "user_id")
+      .withColumnRenamed("a_ts", "signup_ts")
+      .withColumnRenamed("b_first", "first_click_ts"),
+    Some("""
+      WITH a AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+      b AS (SELECT e.user_id, min(e.ts) AS first_click_ts
+            FROM events e JOIN a USING (user_id)
+            WHERE e.event_type = 'click'
+              AND e.ts >= a.signup_ts
+              AND e.ts <= a.signup_ts + INTERVAL 1 HOUR
+            GROUP BY e.user_id)
+      SELECT a.user_id, a.signup_ts, b.first_click_ts,
+        b.first_click_ts IS NOT NULL AS converted,
+        CAST(floor(epoch(b.first_click_ts)) - floor(epoch(a.signup_ts))
+          AS BIGINT) AS secs_to_convert
+      FROM a LEFT JOIN b USING (user_id)"""))
+
+  /** Cohort retention (see `operators/Funnel.cohortRetention`): distinct
+    * active users per (first-seen day, day offset). */
+  private val cohort = Q("q_cohort_retention",
+    (s, dir) => Funnel.cohortRetention(
+      Tables.load(s, dir, "events"),
+      key = col("user_id"), ts = col("ts")),
+    Some("""
+      WITH act AS (SELECT user_id, date_trunc('day', ts) AS day
+                   FROM events),
+      first AS (SELECT user_id, min(day) AS cohort_day FROM act
+                GROUP BY user_id)
+      SELECT cohort_day,
+        (CAST(floor(epoch(day)) AS BIGINT)
+          - CAST(floor(epoch(cohort_day)) AS BIGINT)) // 86400 AS day_offset,
+        count(DISTINCT act.user_id) AS n_active
+      FROM act JOIN first USING (user_id)
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
-    zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm)
+    zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
+    cohort)
 }

@@ -308,6 +308,45 @@ object SimilarityQueries {
         round(sqrt(list_inner_product(cv, cv)), 6) AS norm_r
       FROM c2"""))
 
+  /** IVF-PQ: coarse inverted lists (full-vector L2 assignment, nProbe=2)
+    * restrict the scan; ADC ranks only the probed candidates — the
+    * two-level index composition, hash-checked end to end. */
+  private val pqIvf = Q("q_pq_ivf_adc",
+    (s, dir) => graft.similarity.Pq.ivfAdcTopK(
+      Tables.load(s, dir, "embeddings"), s,
+      queryPred = col("vec_id") < 5, k = 10),
+    Some(pqCte + """,
+      coarse AS (SELECT vec_id AS ccid, e AS ce FROM p WHERE vec_id < 16),
+      cr AS (SELECT p.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY p.vec_id ORDER BY
+                 list_inner_product(p.e, p.e)
+                   - 2 * list_inner_product(p.e, c.ce)
+                   + list_inner_product(c.ce, c.ce), c.ccid) AS rn
+             FROM p, coarse c),
+      lists AS (SELECT vec_id, ccid FROM cr WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, ccid FROM cr
+                 WHERE rn <= 2 AND vec_id < 5),
+      cand AS (SELECT pr.qid, l.vec_id AS cid
+               FROM probes pr JOIN lists l USING (ccid)
+               WHERE pr.qid <> l.vec_id),
+      lut AS (SELECT q.vec_id AS qid, q.s, cb.cid AS code,
+          CAST(list_inner_product(q.v, q.v)
+            - 2 * list_inner_product(q.v, cb.cv)
+            + list_inner_product(cb.cv, cb.cv) AS DECIMAL(24,12)) AS d
+        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
+      adc AS (SELECT cand.qid, cand.cid, CAST(sum(lut.d) AS DOUBLE) AS adc
+              FROM cand
+                JOIN enc ON enc.vec_id = cand.cid
+                JOIN lut ON lut.qid = cand.qid AND lut.s = enc.s
+                  AND lut.code = enc.code
+              GROUP BY 1, 2)
+      SELECT qid, cid, rank, round(adc, 6) AS adc_r FROM (
+        SELECT qid, cid, adc,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid)
+            AS BIGINT) AS rank
+        FROM adc)
+      WHERE rank <= 10"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
-    hamming, hofSuite, pqCodes, pqAdc, kmeans)
+    hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf)
 }

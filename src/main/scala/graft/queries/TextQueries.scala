@@ -340,7 +340,45 @@ object TextQueries {
         CAST(sum(s) AS DOUBLE) / count(*) AS xent
       FROM sc GROUP BY doc_id"""))
 
+  /** Feature-hashed bag-of-words vectors (`TextAnalysis.hashingTf`,
+    * dim=64): the dense array is built by the engine; the gate checks
+    * its scalar audit — nonzeros, token total, position-weighted
+    * checksum, argmax bucket — each derivable independently from the
+    * (doc, bucket) counts in the oracle. */
+  private val hashTf = Q("q_text_hashing_tf",
+    (s, dir) => TextAnalysis.hashingTf(
+        Tables.load(s, dir, "documents"), dim = 64)
+      .select(col("doc_id"),
+        size(filter(col("tf"), x => x > 0)).cast("long").as("nnz"),
+        aggregate(col("tf"), lit(0L), (a, x) => a + x).as("l1_total"),
+        aggregate(zip_with(col("tf"), sequence(lit(1L), lit(64L)),
+          (v, i) => v * i), lit(0L), (a, x) => a + x).as("checksum"),
+        array_max(col("tf")).as("max_count"),
+        (array_position(col("tf"), array_max(col("tf"))) - 1)
+          .as("top_bucket")),
+    Some(raw"""
+      WITH toks AS (SELECT doc_id,
+              string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents),
+      tk AS (SELECT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+      bc AS (SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                 % 64 AS INT) AS b,
+               count(*) AS c
+             FROM tk GROUP BY 1, 2),
+      agg AS (SELECT doc_id, count(*) AS nnz,
+                CAST(sum(c) AS BIGINT) AS l1_total,
+                CAST(sum(c * (b + 1)) AS BIGINT) AS checksum,
+                max(c) AS max_count
+              FROM bc GROUP BY doc_id),
+      top AS (SELECT bc.doc_id, CAST(min(bc.b) AS BIGINT) AS top_bucket
+              FROM bc JOIN agg ON bc.doc_id = agg.doc_id
+                AND bc.c = agg.max_count
+              GROUP BY bc.doc_id)
+      SELECT agg.doc_id, nnz, l1_total, checksum, max_count, top_bucket
+      FROM agg JOIN top USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
-    lshRecall, lmScore)
+    lshRecall, lmScore, hashTf)
 }

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -15,21 +15,23 @@ import graft.CacheScope
   * 64-dim float vector becomes one 32-bit integer. Queries never
   * decompress: a per-query lookup table of query-to-centroid distances
   * turns the corpus scan into `nSub` table lookups + adds per candidate.
+  * [[ivfAdcTopK]] is the full composition: a coarse inverted index
+  * restricts the scan to probed lists, ADC ranks the survivors.
   *
   * Codebook: the sub-vectors of the first `nCentroids` corpus vectors —
   * a deterministic seeding (same spirit as `Knn.ivfTopK`'s centroid
-  * choice) standing in for k-means; Lloyd rounds are expressible as
-  * repeated assign(groupBy)/recenter(avg) passes but add nothing to the
-  * dataflow shape being exercised, and determinism is what the oracle
+  * choice) standing in for k-means; `Kmeans.fit` is the trainer a
+  * production build would plug in, and determinism is what the oracle
   * gate needs.
   *
-  * Scale posture: the codebook and every per-query LUT are KBs —
-  * broadcast; encode is corpus × broadcast(codebook) with a top-1-per-
-  * (vector, subspace) window (one shuffle on vec_id); the ADC scan is
-  * codes ⨝ broadcast(LUT) then a decimal-carried sum per (query,
-  * candidate) — linear in the corpus, no all-pairs stage anywhere.
-  * Distances accumulate through DECIMAL(24,12) so partial-agg order
-  * cannot perturb the ranking (the oracle reproduces bit-equal sums).
+  * Scale posture: the codebook, coarse centroids, and every per-query
+  * LUT are KBs — broadcast; encode is corpus × broadcast(codebook) with
+  * a top-1-per-(vector, subspace) window (one shuffle on vec_id); the
+  * ADC scan is codes ⨝ broadcast(LUT) then a decimal-carried sum per
+  * (query, candidate) — linear in the corpus (or in the probed lists
+  * for IVF-PQ), no all-pairs stage anywhere. Distances accumulate
+  * through DECIMAL(24,12) so partial-agg order cannot perturb the
+  * ranking (the oracle reproduces bit-equal sums).
   */
 object Pq {
 
@@ -42,11 +44,48 @@ object Pq {
       .select(col("vec_id"), col("s"),
         slice(col("e"), col("s") * subDim + 1, lit(subDim)).as("v"))
 
-  /** Squared L2 between slice columns `a` and `b`, written as
+  /** Squared L2 between vector columns `a` and `b`, written as
     * ip(a,a) - 2·ip(a,b) + ip(b,b) with the codegen dot so the oracle
     * can reproduce the exact expression tree (same associativity). */
-  private def l2sq(a: String, b: String): org.apache.spark.sql.Column =
+  private def l2sq(a: String, b: String): Column =
     expr(s"dot_f64($a, $a) - 2 * dot_f64($a, $b) + dot_f64($b, $b)")
+
+  /** The deterministic codebook: (cid, s, cv). */
+  private def codebook(sub: DataFrame, nCentroids: Int): DataFrame =
+    sub.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("s"), col("v").as("cv"))
+
+  /** Per-(vector, subspace) nearest-centroid codes: (vec_id, s, code). */
+  private def codesOf(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val byDist = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(l2sq("v", "cv").asc, col("cid").asc)
+    sub.join(broadcast(cb), "s")
+      .withColumn("__rn", row_number().over(byDist))
+      .where(col("__rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+  }
+
+  /** Per-query distance LUT: (qid, s, code, d) with d decimal-carried. */
+  private def lutOf(sub: DataFrame, cb: DataFrame,
+      queryPred: Column): DataFrame =
+    sub.where(queryPred)
+      .select(col("vec_id").as("qid"), col("s"), col("v").as("qv"))
+      .join(broadcast(cb), "s")
+      .select(col("qid"), col("s"), col("cid").as("code"),
+        l2sq("qv", "cv").cast(DecimalType(24, 12)).as("d"))
+
+  /** Sum the LUT lookups per (query, candidate) and keep the top k. */
+  private def rankByAdc(scan: DataFrame, k: Int): DataFrame = {
+    val byAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").asc, col("cid").asc)
+    scan
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(sum(col("d")).cast("double").as("adc"))
+      .withColumn("rank", row_number().over(byAdc).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"),
+        round(col("adc"), 6).as("adc_r"))
+  }
 
   /** PQ-encode the corpus: one row per vector with the packed code
     * (4 bits per subspace, subspace s at bit 4s). */
@@ -55,50 +94,54 @@ object Pq {
     require(nCentroids <= 16, "4-bit codes: at most 16 centroids")
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val sub = CacheScope.persist(subVectors(emb, nSub, subDim))
-    val cb = sub.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("s"), col("v").as("cv"))
-    val byDist = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(l2sq("v", "cv").asc, col("cid").asc)
-    sub.join(broadcast(cb), "s")
-      .withColumn("__rn", row_number().over(byDist))
-      .where(col("__rn") === 1)
+    codesOf(sub, codebook(sub, nCentroids))
       .groupBy(col("vec_id"))
       // cid is BIGINT (from vec_id), so the shifted codes can't overflow
-      .agg(expr("sum(shiftleft(cid, s * 4))").as("pq_code"))
+      .agg(expr("sum(shiftleft(code, s * 4))").as("pq_code"))
   }
 
   /** ADC top-k: approximate squared-L2 neighbors of each query row
-    * (`queryPred` over vec_id), ranked per query. Returns
-    * (qid, cid, rank, adc_r) with the distance rounded to 6 dp. */
-  def adcTopK(emb: DataFrame, spark: SparkSession,
-      queryPred: org.apache.spark.sql.Column, k: Int,
+    * (`queryPred` over vec_id), ranked per query over the WHOLE corpus.
+    * Returns (qid, cid, rank, adc_r), distance rounded to 6 dp. */
+  def adcTopK(emb: DataFrame, spark: SparkSession, queryPred: Column, k: Int,
       nCentroids: Int = 16, nSub: Int = 8, subDim: Int = 8): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val sub = CacheScope.persist(subVectors(emb, nSub, subDim))
-    val cb = sub.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("s"), col("v").as("cv"))
-    // corpus codes, unpacked form: (vec_id, s, code)
-    val byDist = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(l2sq("v", "cv").asc, col("cid").asc)
-    val codes = sub.join(broadcast(cb), "s")
-      .withColumn("__rn", row_number().over(byDist))
-      .where(col("__rn") === 1)
-      .select(col("vec_id"), col("s"), col("cid").as("code"))
-    // per-query LUT: distance from each query sub-vector to each centroid
-    val lut = sub.where(queryPred)
-      .select(col("vec_id").as("qid"), col("s"), col("v").as("qv"))
-      .join(broadcast(cb), "s")
-      .select(col("qid"), col("s"), col("cid").as("code"),
-        l2sq("qv", "cv").cast(DecimalType(24, 12)).as("d"))
-    val byAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").asc, col("cid").asc)
-    codes.join(broadcast(lut), Seq("s", "code"))
+    val cb = codebook(sub, nCentroids)
+    rankByAdc(
+      codesOf(sub, cb)
+        .join(broadcast(lutOf(sub, cb, queryPred)), Seq("s", "code"))
+        .where(col("qid") =!= col("vec_id")), k)
+  }
+
+  /** IVF-PQ: a coarse inverted index (full-vector nearest of `nCoarse`
+    * seed centroids) restricts each query's scan to its `nProbe` nearest
+    * lists; ADC ranks only those candidates. At 100 TB this is the
+    * standard two-level index: the scan cost drops from the corpus to
+    * nProbe/nCoarse of it, and everything broadcast stays KB-sized. */
+  def ivfAdcTopK(emb: DataFrame, spark: SparkSession, queryPred: Column,
+      k: Int, nCoarse: Int = 16, nProbe: Int = 2, nCentroids: Int = 16,
+      nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val p = CacheScope.persist(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    val coarse = p.where(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("ccid"), col("e").as("ce"))
+    val byCoarse = Window.partitionBy(col("vec_id"))
+      .orderBy(l2sq("e", "ce").asc, col("ccid").asc)
+    val ranked = p.crossJoin(broadcast(coarse))
+      .withColumn("__rn", row_number().over(byCoarse))
+    val lists = ranked.where(col("__rn") === 1)
+      .select(col("vec_id"), col("ccid"))
+    val probes = ranked.where(col("__rn") <= nProbe && queryPred)
+      .select(col("vec_id").as("qid"), col("ccid"))
+    val cand = probes.join(lists, "ccid")
       .where(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id").as("cid"))
-      .agg(sum(col("d")).cast("double").as("adc"))
-      .withColumn("rank", row_number().over(byAdc).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"),
-        round(col("adc"), 6).as("adc_r"))
+      .select(col("qid"), col("vec_id"))
+    val sub = CacheScope.persist(subVectors(emb, nSub, subDim))
+    val cb = codebook(sub, nCentroids)
+    rankByAdc(
+      cand.join(codesOf(sub, cb), "vec_id")
+        .join(broadcast(lutOf(sub, cb, queryPred)), Seq("qid", "s", "code")), k)
   }
 }

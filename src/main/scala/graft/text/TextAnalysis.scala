@@ -174,4 +174,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("__s")).cast("double") / count(lit(1))).as("xent"))
   }
+
+  /** Feature hashing (the hashing trick): fixed-`dim` bag-of-words count
+    * vectors, bucket = md5-hash(token) mod dim — the stateless text →
+    * vector bridge (no vocabulary to fit, ship, or keep consistent
+    * across a 100 TB corpus; Weinberger et al., ICML 2009). Output is
+    * the dense count array; every token hits exactly one bucket, so the
+    * dataflow is explode → one (doc, bucket) count shuffle → per-doc
+    * map reassembled into the dense vector. Hash is `Scalars.md5Long60`
+    * so an oracle can reproduce buckets bit-exactly. */
+  def hashingTf(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, "hashingTf needs dim > 0")
+    docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.Scalars.md5Long60(col("tok")), lit(dim.toLong))
+          .cast("int").as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => coalesce(element_at(col("__m"), d), lit(0L))).as("tf"))
+  }
 }
