@@ -667,9 +667,34 @@ object AnalyticsQueries {
       FROM act JOIN first USING (user_id)
       GROUP BY 1, 2"""))
 
+  /** Sliding event-time windows (1 h window, 30 min slide): every event
+    * lands in exactly two overlapping windows — the `window()` function
+    * in its sliding form (the tumbling form is `q_events_hourly`). The
+    * oracle derives both candidate window starts per event explicitly. */
+  private val sliding = Q("q_events_sliding",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n")),
+    Some("""
+      WITH c AS (SELECT event_type,
+          date_trunc('hour', ts)
+            + CASE WHEN extract(minute FROM ts) >= 30
+                   THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+            AS t30
+        FROM events),
+      w AS (SELECT event_type, t30 - INTERVAL 30 MINUTE AS w_start FROM c
+            UNION ALL
+            SELECT event_type, t30 FROM c)
+      SELECT w_start, event_type, count(*) AS n
+      FROM w GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
-    cohort)
+    cohort, sliding)
 }

@@ -491,8 +491,52 @@ object CurationQueries {
         md5(array_to_string(kept, ' ')) AS clean_md5
       FROM k"""))
 
+  /** One PageRank round in oracle SQL (see `operators/Graph.pageRank`):
+    * decimal-exact inflow sums + the teleport term, all constants
+    * double-cast so both engines run identical IEEE ops. */
+  private def prIter(prev: String): String = s"""
+      (SELECT nodes.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.nv
+           + coalesce(inf.inflow, CAST(0 AS DOUBLE)) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN (
+         SELECT e.dst AS node,
+           CAST(sum(CAST(r.rank / d.deg * CAST(0.85 AS DOUBLE)
+             AS DECIMAL(24,12))) AS DOUBLE) AS inflow
+         FROM $prev r JOIN deg d ON r.node = d.src JOIN e ON e.src = d.src
+         GROUP BY e.dst) inf ON nodes.node = inf.node)"""
+
+  /** PageRank (3 rounds, damping 0.85) over the undirected LSH near-dup
+    * graph: hub documents — cluster centers many docs resemble — get
+    * the mass. Isolated docs keep the teleport rank. */
+  private val pagerank = Q("q_graph_pagerank",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.lshCandidates(Dedup.minhashSignatures(
+        Dedup.shingles(docs))).select(col("da"), col("db"))
+      graft.operators.Graph.pageRank(
+          nodes = docs.select(col("doc_id").as("node")),
+          edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+            .unionByName(
+              pairs.select(col("db").as("src"), col("da").as("dst"))),
+          damping = 0.85, iters = 3)
+        .select(col("node").as("doc_id"), round(col("rank"), 9).as("rank_r"))
+    },
+    Some(TextQueries.lshPairsCte + s""",
+      nodes AS (SELECT doc_id AS node FROM documents),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM nodes),
+      e AS (SELECT da AS src, db AS dst FROM pairs
+            UNION ALL
+            SELECT db, da FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.nv AS rank
+             FROM nodes CROSS JOIN nn),
+      r1 AS ${prIter("r0")},
+      r2 AS ${prIter("r1")},
+      r3 AS ${prIter("r2")}
+      SELECT node AS doc_id, round(rank, 9) AS rank_r FROM r3"""))
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, pack, packScalable, packManifest,
-    runCollapse, pretrainPipeline)
+    runCollapse, pretrainPipeline, pagerank)
 }
