@@ -692,9 +692,46 @@ object AnalyticsQueries {
       SELECT w_start, event_type, count(*) AS n
       FROM w GROUP BY 1, 2"""))
 
+  /** Native `session_window` (30-min gap) — Spark's built-in session
+    * operator; must agree with the hand-rolled lag/cumsum sessionizer
+    * (`q_events_sessionize`), so the oracle is that query's session
+    * bounds minus the surrogate ids. Session end here is last_event +
+    * gap (the operator's definition), so the oracle adds the gap to its
+    * max(ts). */
+  private val sessionWindow = Q("q_events_session_window",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events")),
+    Some("""
+      WITH l AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns,
+          event_id
+        FROM l),
+      se AS (
+        SELECT user_id, ts,
+          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM f)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM se GROUP BY user_id, session_id"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
-    cohort, sliding)
+    cohort, sliding, sessionWindow)
 }

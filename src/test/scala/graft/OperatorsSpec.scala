@@ -192,4 +192,48 @@ class OperatorsSpec extends SparkSuite {
       .select("k").as[Long].collect().sorted
     assert(out.sameElements(Array(2L, 3L)))
   }
+
+  test("Funnel.twoStep: B-before-A ignored, window boundary inclusive") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, t(100), "B"), (1L, t(200), "A"), (1L, t(300), "B"), // B@100 too early
+      (2L, t(0), "A"), (2L, t(3600), "B"),                     // exactly on edge
+      (3L, t(0), "A"), (3L, t(3601), "B"),                     // one past edge
+      (4L, t(50), "A"))                                        // never converts
+      .toDF("k", "ts", "typ")
+    val out = Funnel.twoStep(ev, col("k"), col("ts"),
+        col("typ") === "A", col("typ") === "B", windowSeconds = 3600L)
+      .select("k", "converted", "secs_to_convert")
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, true, Some(100L)),  // only the B AFTER A counts
+      (2L, true, Some(3600L)), // <= boundary converts
+      (3L, false, None),       // just outside the window
+      (4L, false, None)))
+  }
+
+  test("Graph.pageRank: symmetric cycle stays at fixpoint, isolate keeps teleport") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, damping = 0.85, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // a<->b is a fixpoint of the uniform start: each keeps exactly 1/3
+    assert(math.abs(r(1L) - 1.0 / 3) < 1e-12 && r(1L) == r(2L))
+    // the isolate receives only the teleport term every round
+    assert(math.abs(r(3L) - 0.15 / 3) < 1e-12)
+  }
+
+  test("hashingTf: counts land in buckets, mass equals token count") {
+    val docs = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.hashingTf(docs, dim = 8)
+      .select(col("doc_id"),
+        aggregate(col("tf"), lit(0L), (acc, x) => acc + x).as("l1"),
+        array_max(col("tf")).as("mx"),
+        size(filter(col("tf"), x => x > 0)).as("nnz"))
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 2), // "a" twice in one bucket, "b" once in another
+      (2L, 1L, 1L, 1))) // split("") -> one empty token
+  }
 }
