@@ -21,6 +21,49 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("late events beyond the watermark are dropped across restarts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/root/repo/target/stage/test_late_data"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def write(rows: Seq[(Long, Timestamp)], part: String): Unit =
+      rows.toDF("id", "ts").write.parquet(s"$base/in/$part")
+    // run the same watermarked hourly count to completion; APPEND mode
+    // only emits windows the watermark has closed (memory sink can't
+    // recover a checkpoint, so collect appends via foreachBatch)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Timestamp]
+    def runOnce() = {
+      val q = spark.readStream
+        .schema("id LONG, ts TIMESTAMP")
+        .parquet(s"$base/in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted ++= b.collect().map(_.getTimestamp(0)); ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q
+    }
+    write(Seq((1L, t(10, 15)), (2L, t(10, 45)), (3L, t(12, 0))), "p1")
+    runOnce() // watermark after this run: 12:00 - 1h = 11:00
+    // a late straggler far below the persisted watermark + a fresh event
+    write(Seq((4L, t(8, 30)), (5L, t(13, 30))), "p2")
+    val q2 = runOnce()
+    assert(!emitted.contains(t(8, 0)), s"late window emitted: $emitted")
+    assert(emitted.contains(t(10, 0)), s"closed window missing: $emitted")
+    val dropped = q2.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1, s"expected the 08:30 straggler dropped, got $dropped")
+  }
+
   test("multimodal: stub decode is deterministic and byte-exact for ascii") {
     val media = Multimodal.asMedia(Tables.load(spark, sf, "documents"))
     val feats = Multimodal.extractFeatures(media)
