@@ -332,7 +332,37 @@ object SourceQueries {
       SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
       FROM lineitem WHERE l_partkey BETWEEN 100 AND 500"""))
 
+  /** Calendar-dimension build via a RECURSIVE CTE (new in Spark 4) —
+    * the warehouse date spine generated in-engine, one row per day with
+    * portable derived attributes (day-of-week from epoch-day arithmetic
+    * so both engines agree on the 1970-01-01-was-Thursday anchor; DATE
+    * itself is emitted as a string per the cross-engine dtype rule). */
+  private val calendarDim = Q("q_s12_calendar_dim",
+    (s, dir) => s.sql("""
+      WITH RECURSIVE cal (d) AS (
+        SELECT DATE '2024-01-01' AS d
+        UNION ALL
+        SELECT date_add(d, 1) FROM cal WHERE d < DATE '2024-03-31')
+      SELECT CAST(d AS STRING) AS day_str,
+        CAST((FLOOR(unix_date(d)) + 4) % 7 AS BIGINT) AS dow,
+        ((unix_date(d) + 4) % 7) IN (0, 6) AS is_weekend,
+        CAST(month(d) AS BIGINT) AS mth,
+        CAST(unix_date(d) AS BIGINT) AS epoch_day
+      FROM cal"""),
+    Some("""
+      WITH RECURSIVE cal (d) AS (
+        SELECT DATE '2024-01-01' AS d
+        UNION ALL
+        SELECT d + 1 FROM cal WHERE d < DATE '2024-03-31')
+      SELECT strftime(d, '%Y-%m-%d') AS day_str,
+        CAST((epoch(d) // 86400 + 4) % 7 AS BIGINT) AS dow,
+        ((epoch(d) // 86400 + 4) % 7) IN (0, 6) AS is_weekend,
+        CAST(month(d) AS BIGINT) AS mth,
+        CAST(epoch(d) // 86400 AS BIGINT) AS epoch_day
+      FROM cal"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
     partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
-    orcRoundtrip, jsonPath, compactSink, jsonCorrupt, prunedScan)
+    orcRoundtrip, jsonPath, compactSink, jsonCorrupt, prunedScan,
+    calendarDim)
 }
