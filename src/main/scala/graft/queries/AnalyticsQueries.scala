@@ -729,9 +729,38 @@ object AnalyticsQueries {
         count(*) AS n_events
       FROM se GROUP BY user_id, session_id"""))
 
+  /** Free-riding audit metrics via `observe`: the reference re-runs a
+    * count() action per checkpoint (SURVEY A1/A5 — each one a full
+    * re-execution); `observe` attaches the counters to the ONE
+    * production pass, so at 100 TB the audit costs nothing extra. The
+    * observed totals are emitted as the result row and hash-checked
+    * against directly-computed aggregates. */
+  private val observed = Q("q_a1_observed",
+    (s, dir) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      Tables.load(s, dir, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast("double").as("sum_qty"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("n_returned").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "n_returned")
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+      FROM lineitem"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
-    cohort, sliding, sessionWindow)
+    cohort, sliding, sessionWindow, observed)
 }
