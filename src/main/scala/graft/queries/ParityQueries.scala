@@ -491,6 +491,28 @@ object ParityQueries {
       SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
       WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"""))
 
+  /** Multiset forms (exceptAll/intersectAll): duplicates COUNT — the
+    * bag semantics U2/U3's distinct forms discard. lineitem rows repeat
+    * on the 3-col projection, so the outputs genuinely differ from the
+    * distinct twins. */
+  private val u4 = Q("q_u4_except_all",
+    (s, dir) => u2Src(s, dir).exceptAll(u2Tgt(s, dir)),
+    Some("""
+      SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      WHERE l_linestatus = 'F'
+      EXCEPT ALL
+      SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"""))
+
+  private val u5 = Q("q_u5_intersect_all",
+    (s, dir) => u2Src(s, dir).intersectAll(u2Tgt(s, dir)),
+    Some("""
+      SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      WHERE l_linestatus = 'F'
+      INTERSECT ALL
+      SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"""))
+
   // ---------------------------------------------------------------- P9/J7
   /** P9/J7: "new keys only" delta via null-safe anti join — reproduces
     * `leadid not in (select coalesce(leadid,'') …)` (`PUSH:207-215`). */
@@ -707,6 +729,6 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     s1, o2Limit, pShape, fScalar, fDatetime, f5, f19,
     j1, j2, typed, j3, j3r, j3e, j3a, j4, j6, a3,
-    w1, w1s, w2, u1, u2, u3, p9, ladder,
+    w1, w1s, w2, u1, u2, u3, u4, u5, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)
 }
