@@ -16,5 +16,5 @@ object Registry {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ SourceQueries.all ++ AnalyticsQueries.all ++
       TextQueries.all ++ CurationQueries.all ++ SimilarityQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ RelationalQueries.all
 }
