@@ -758,9 +758,64 @@ object AnalyticsQueries {
         count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
       FROM lineitem"""))
 
+  /** Outlier detection: z-score per event against its event_type's
+    * mean/stddev. Two-phase: one map-side-combined aggregate down to
+    * |event_type| rows, broadcast back over the fact — the fact is
+    * scanned twice but never shuffled. Anomalies (|z| > 2.5) surface
+    * with their score; z rounds to 6 dp per the float-output rule. */
+  private val anomaly = Q("q_events_anomaly",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val st = ev.groupBy(col("event_type")).agg(
+        avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+      val z = (col("value") - col("mu")) / col("sigma")
+      ev.join(broadcast(st), Seq("event_type"))
+        .filter(abs(z) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 6).as("z"))
+    },
+    Some("""
+      WITH st AS (SELECT event_type, avg(value) AS mu,
+          stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type)
+      SELECT event_id, e.event_type, value,
+        round((value - mu) / sigma, 6) AS z
+      FROM events e JOIN st USING (event_type)
+      WHERE abs((value - mu) / sigma) > 2.5"""))
+
+  /** Winsorization: clip `value` to its event_type's exact [p05, p95]
+    * band (R-7 interpolation in both engines). Same two-phase shape as
+    * the z-score: tiny percentile dim broadcast over an unshuffled
+    * fact. The emitted clipped value rounds to 6 dp. */
+  private val winsorize = Q("q_events_winsorize",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val bands = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(bands), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(greatest(col("p05"), least(col("p95"), col("value"))), 6)
+            .as("clipped"),
+          (col("value") < col("p05") || col("value") > col("p95"))
+            .as("was_clipped"))
+    },
+    Some("""
+      WITH b AS (SELECT event_type,
+          quantile_cont(value, 0.05) AS p05,
+          quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type)
+      SELECT event_id, e.event_type, value,
+        round(greatest(p05, least(p95, value)), 6) AS clipped,
+        (value < p05 OR value > p95) AS was_clipped
+      FROM events e JOIN b USING (event_type)"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
-    cohort, sliding, sessionWindow, observed)
+    cohort, sliding, sessionWindow, observed, anomaly, winsorize)
 }

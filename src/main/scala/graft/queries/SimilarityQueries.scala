@@ -347,6 +347,30 @@ object SimilarityQueries {
         FROM adc)
       WHERE rank <= 10"""))
 
+  /** L2 normalization — the standard pre-step before cosine ANN /
+    * semantic dedup: unit-norm check plus the first normalized
+    * component. Pure narrow projection (the codegen `dot_f64` norm
+    * never leaves the row); zero-norm vectors are fenced to 0. */
+  private val embNormalize = Q("q_emb_normalize",
+    (s, dir) => {
+      val p = Knn.prepared(Tables.load(s, dir, "embeddings"))
+      p.select(col("vec_id"),
+        size(col("e")).cast("long").as("dim"),
+        round(col("nrm"), 6).as("l2_norm"),
+        round(when(col("nrm") === 0, 0.0)
+          .otherwise(element_at(col("e"), 1) / col("nrm")), 6).as("u0"),
+        round(when(col("nrm") === 0, 0.0)
+          .otherwise(expr("dot_f64(e, e)") / (col("nrm") * col("nrm"))), 6)
+          .as("unit_check"))
+    },
+    Some(prepCte + """
+      SELECT vec_id, CAST(len(e) AS BIGINT) AS dim,
+        round(nrm, 6) AS l2_norm,
+        round(CASE WHEN nrm = 0 THEN 0.0 ELSE e[1] / nrm END, 6) AS u0,
+        round(CASE WHEN nrm = 0 THEN 0.0
+          ELSE list_inner_product(e, e) / (nrm * nrm) END, 6) AS unit_check
+      FROM p"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
-    hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf)
+    hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf, embNormalize)
 }

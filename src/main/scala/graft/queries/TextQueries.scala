@@ -378,7 +378,26 @@ object TextQueries {
       SELECT agg.doc_id, nnz, l1_total, checksum, max_count, top_bucket
       FROM agg JOIN top USING (doc_id)"""))
 
+  /** Boilerplate fraction per document: share of distinct 3-shingles
+    * whose corpus doc-frequency is ≥ 3, plus the keep decision at the
+    * 0.25 cut (thresholds sized to the fixture's df distribution; at
+    * corpus scale dfCap rises with N). */
+  private val boilerplate = Q("q_text_boilerplate",
+    (s, dir) => graft.text.Curation.boilerplate(
+      Tables.load(s, dir, "documents"), dfCap = 3, keepBelow = 0.25),
+    Some(shCte + raw""",
+      dfreq AS (SELECT s, count(*) AS doc_freq FROM sh GROUP BY s),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+      hits AS (SELECT doc_id, count(*) AS hits
+               FROM sh JOIN dfreq USING (s)
+               WHERE doc_freq >= 3 GROUP BY doc_id)
+      SELECT t.doc_id, n_grams,
+        coalesce(hits, 0) AS n_boiler,
+        round(coalesce(hits, 0) / n_grams, 6) AS boiler_frac,
+        coalesce(hits, 0) / n_grams < 0.25 AS keep
+      FROM tot t LEFT JOIN hits USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
-    lshRecall, lmScore, hashTf)
+    lshRecall, lmScore, hashTf, boilerplate)
 }

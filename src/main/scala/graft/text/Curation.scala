@@ -26,6 +26,38 @@ object Curation {
   def hashBucket(key: Column): Column =
     Scalars.md5Long60(key.cast("string")) % 100
 
+  /** Boilerplate scoring (CCNet/RefinedWeb-style): the fraction of a
+    * document's distinct word 3-shingles that are corpus-frequent
+    * (doc-frequency ≥ `dfCap`). High fractions mark template/boilerplate
+    * text; `keep` = fraction < `keepBelow`.
+    *
+    * Shape at 100 TB: one groupBy on the shingle for doc-frequency, one
+    * equi-join of shingles against the FILTERED frequent set (bounded by
+    * |total shingles|/dfCap, so it shrinks as dfCap grows — AQE converts
+    * the join to broadcast when it fits), one groupBy back on doc_id.
+    * Nothing is quadratic; no all-pairs stage.
+    */
+  def boilerplate(docs: DataFrame, dfCap: Int, keepBelow: Double): DataFrame = {
+    // both aggregate legs share the shingle lineage — persist it (see
+    // the self-join determinism note in the verify recipe)
+    val grams = graft.CacheScope.persist(Dedup.shingles(docs))
+    val frequent = grams.groupBy(col("s"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= dfCap)
+      .select(col("s"))
+    val totals = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(frequent, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_grams"), 6)
+          .as("boiler_frac"),
+        (coalesce(col("hits"), lit(0L)) / col("n_grams") < keepBelow)
+          .as("keep"))
+  }
+
   /** Train/val/test assignment by cumulative hash-bucket ranges:
     * `splits` = (name, percent) with percents summing to ≤100. A
     * document's split never changes when other documents are added or
