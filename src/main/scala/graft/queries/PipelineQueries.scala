@@ -87,6 +87,25 @@ object PipelineQueries {
        AND c.click_ts >= s.signup_ts
        AND c.click_ts <= s.signup_ts + INTERVAL 1 HOUR"""))
 
+  /** Stream-stream LEFT OUTER join — unmatched clicks null-pad once the
+    * watermark proves no signup can arrive; a staged flush sentinel
+    * pushes the final watermark so the result converges to exactly the
+    * batch left join (the oracle). */
+  private val streamOuter = Q("q_stream_outer_join",
+    (s, dir) => graft.streaming.EventsStream.leftOuterJoin(s, dir,
+      "/root/repo/target/stage/q_stream_outer_join"),
+    Some("""
+      WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                      FROM events WHERE event_type = 'click'),
+           signups AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+                       FROM events WHERE event_type = 'signup')
+      SELECT c.click_id, c.user_id, s.signup_id,
+        s.signup_id IS NOT NULL AS matched
+      FROM clicks c LEFT JOIN signups s
+        ON c.user_id = s.user_id
+       AND c.click_ts >= s.signup_ts
+       AND c.click_ts <= s.signup_ts + INTERVAL 1 HOUR"""))
+
   /** Flagship pipeline over the query-arg scale factor (rows-only: output
     * is deeply nested). */
   private val flagship = Q("q_flagship_pipeline",
@@ -328,5 +347,5 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
-    streamMerge, flagship, flagshipFlat, outbound, outboundFlat)
+    streamOuter, streamMerge, flagship, flagshipFlat, outbound, outboundFlat)
 }

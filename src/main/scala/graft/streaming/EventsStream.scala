@@ -117,6 +117,78 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stream-stream LEFT OUTER join: every click, matched to a same-user
+    * signup within the hour before it — or null-padded once the
+    * watermark proves no matching signup can still arrive. The outer
+    * side is the part the inner join can't express: unmatched rows sit
+    * in state until the watermark passes their eligibility window, then
+    * emit exactly once.
+    *
+    * Convergence: outer results only flush when the watermark moves past
+    * them, and the watermark only moves with new data — so the staged
+    * source appends a far-future flush sentinel per side (user_id = -1,
+    * filtered back out of the result). That is the streaming form of a
+    * source heartbeat/punctuation: at 100 TB the upstream bus provides
+    * it; here the stage writes it, which makes the streaming result
+    * EXACTLY the batch left join — and hash-checkable.
+    */
+  def leftOuterJoin(spark: SparkSession, dir: String,
+      workPath: String): DataFrame = {
+    val name = "stream_outer_out"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workPath), true)
+    val srcPath = s"$workPath/src"
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    // scalar bound fetch (fenced, A5 pattern): the sentinel must outrun
+    // every real event time for the final watermark to flush all state
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(
+      maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val sentinels = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, flushTs, -1L, "click"),
+        org.apache.spark.sql.Row(-2L, flushTs, -1L, "signup")),
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+    ev.unionByName(sentinels).write.parquet(srcPath)
+    val stagedSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def side(eventType: String, idAs: String, tsAs: String) =
+      spark.readStream
+        .schema(stagedSchema)
+        .parquet(srcPath)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "click_id", "click_ts")
+    val signups = side("signup", "signup_id", "signup_ts")
+      .withColumnRenamed("user_id", "s_user_id")
+    val joined = clicks.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("signup_id"),
+        col("signup_id").isNotNull.as("matched"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", s"$workPath/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** foreachBatch sink: per-micro-batch idempotent parquet write — the
     * production pattern for sinks Structured Streaming doesn't speak
     * natively (JDBC, document stores): each batch is a normal DataFrame,
