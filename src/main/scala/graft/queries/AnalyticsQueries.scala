@@ -813,9 +813,48 @@ object AnalyticsQueries {
         (value < p05 OR value > p95) AS was_clipped
       FROM events e JOIN b USING (event_type)"""))
 
+  /** Exponential time-decay engagement score per user: each event
+    * contributes value·2^(−age_days), halving per day of age. All
+    * arithmetic is exact integers — value in cents times a 2^(40−age)
+    * bit-shift weight, summed as DECIMAL(38,0) (no double sum, no
+    * per-term rounding: 2-dp values times powers of two sit exactly ON
+    * decimal round-half boundaries, where engines disagree) — then ONE
+    * final division + 6-dp round on a generic real. Ages past 40 days
+    * clamp: their weight is below the 6-dp output resolution anyway.
+    * Shape: one scalar max (broadcast back) + one user_id groupBy; the
+    * fact shuffles once. */
+  private val decayScore = Q("q_events_decay_score",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"), col("ts"))
+      val maxE = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      ev.crossJoin(broadcast(maxE))
+        .withColumn("age_days",
+          expr("(max_us - unix_micros(ts)) DIV 86400000000"))
+        .withColumn("term", (round(col("value") * 100).cast("long") *
+          expr("shiftleft(1L, cast(40 - least(age_days, 40) as int))"))
+          .cast("decimal(38,0)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("term")).cast("double") /
+            (lit(100.0) * pow(lit(2.0), 40)), 6).as("decay_score"))
+    },
+    Some("""
+      WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+      t AS (SELECT user_id,
+          CAST(round(value * 100) AS BIGINT) *
+            (CAST(1 AS BIGINT) << CAST(40 - least(
+              (max_us - epoch_us(ts)) // 86400000000, 40) AS INT)) AS term
+        FROM events, m)
+      SELECT user_id, count(*) AS n_events,
+        round(CAST(sum(term) AS DOUBLE) / (100.0 * 1099511627776.0), 6)
+          AS decay_score
+      FROM t GROUP BY user_id"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
-    cohort, sliding, sessionWindow, observed, anomaly, winsorize)
+    cohort, sliding, sessionWindow, observed, anomaly, winsorize,
+    decayScore)
 }

@@ -535,8 +535,57 @@ object CurationQueries {
       r3 AS ${prIter("r2")}
       SELECT node AS doc_id, round(rank, 9) AS rank_r FROM r3"""))
 
+  /** Per-source cap: at most 10 docs per source, longest-first with
+    * doc_id tiebreak — the web-curation domain cap. */
+  private val sourceCap = Q("q_source_cap",
+    (s, dir) => Curation.capPerSource(
+      Tables.load(s, dir, "documents"), cap = 10),
+    Some("""
+      WITH r AS (SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 10"""))
+
+  /** One-pass table profile of orders (float column pre-cast to
+    * DECIMAL so min/max strings are engine-portable). */
+  private val profileTable = Q("q_profile_table",
+    (s, dir) => graft.operators.Profile.table(
+      Tables.load(s, dir, "orders")
+        .withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(18,2)")),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")),
+    Some("""
+      WITH o AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+                 FROM orders)
+      SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+        count(DISTINCT o_orderkey) AS n_distinct,
+        CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM o
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+        count(*) FILTER (o_custkey IS NULL), count(DISTINCT o_custkey),
+        CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+      FROM o
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+        count(*) FILTER (o_orderstatus IS NULL),
+        count(DISTINCT o_orderstatus),
+        min(o_orderstatus), max(o_orderstatus) FROM o
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+        count(*) FILTER (o_orderpriority IS NULL),
+        count(DISTINCT o_orderpriority),
+        min(o_orderpriority), max(o_orderpriority) FROM o
+      UNION ALL
+      SELECT 'o_totalprice', count(*),
+        count(*) FILTER (tp IS NULL), count(DISTINCT tp),
+        CAST(min(tp) AS VARCHAR), CAST(max(tp) AS VARCHAR) FROM o"""))
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, pack, packScalable, packManifest,
-    runCollapse, pretrainPipeline, pagerank)
+    runCollapse, pretrainPipeline, pagerank, sourceCap, profileTable)
 }

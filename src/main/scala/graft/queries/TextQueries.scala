@@ -397,7 +397,27 @@ object TextQueries {
         coalesce(hits, 0) / n_grams < 0.25 AS keep
       FROM tot t LEFT JOIN hits USING (doc_id)"""))
 
+  /** Corpus length histogram: docs bucketed by token count (width-10
+    * bins, top bin open). One narrow projection + one tiny groupBy —
+    * the shape survives any corpus size. */
+  private val tokenHistogram = Q("q_token_histogram",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(size(TextAnalysis.tokens).cast("long").as("n_tok"))
+        .withColumn("bucket",
+          least(floor(col("n_tok") / 10), lit(19L)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok")),
+    Some(raw"""
+      WITH t AS (SELECT CAST(len(string_split_regex(lower(trim(text)),
+          '\s+')) AS BIGINT) AS n_tok FROM documents)
+      SELECT least(CAST(floor(n_tok / 10) AS BIGINT), 19) AS bucket,
+        count(*) AS n_docs, min(n_tok) AS min_tok, max(n_tok) AS max_tok
+      FROM t GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
-    lshRecall, lmScore, hashTf, boilerplate)
+    lshRecall, lmScore, hashTf, boilerplate, tokenHistogram)
 }

@@ -26,6 +26,22 @@ object Curation {
   def hashBucket(key: Column): Column =
     Scalars.md5Long60(key.cast("string")) % 100
 
+  /** Per-source document cap (web-curation "domain cap"): keep at most
+    * `cap` documents per source, preferring longer documents with
+    * doc_id as the total-order tiebreak. One shuffle on `source`;
+    * Spark's WindowGroupLimit pushes the rank cutoff below the shuffle
+    * (map-side partial limit), so a hot domain with 10^8 pages sends at
+    * most ~cap rows per map partition — the skew this op exists to
+    * tame never reaches the reducers. */
+  def capPerSource(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, "capPerSource needs cap > 0")
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .filter(col("rn") <= cap)
+  }
+
   /** Boilerplate scoring (CCNet/RefinedWeb-style): the fraction of a
     * document's distinct word 3-shingles that are corpus-frequent
     * (doc-frequency ≥ `dfCap`). High fractions mark template/boilerplate
