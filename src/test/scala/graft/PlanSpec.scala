@@ -140,4 +140,65 @@ class PlanSpec extends SparkSuite {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
       p.take(1200))
   }
+
+  test("full outer join sort-merges (broadcast is impossible for full outer)") {
+    val p = planOf("q_j9_full_outer")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      p.take(1200))
+  }
+
+  test("semi/anti flagging plans LeftSemi + LeftAnti, never duplicating the left") {
+    val p = planOf("q_j10_semi_anti")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+  }
+
+  test("correlated scalar subquery decorrelates: no nested loop, no per-row re-execution") {
+    val p = planOf("q_sub_scalar_corr")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // decorrelation surfaces as an aggregate joined back, not a subquery
+    assert(p.contains("Aggregate") || p.contains("HashAggregate"),
+      p.take(1200))
+  }
+
+  test("LATERAL top-k rewrites the correlated LIMIT to a group-limit window") {
+    val p = planOf("q_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("z-score and winsorize broadcast their tiny stats dim over an unshuffled fact") {
+    for (q <- Seq("q_events_anomaly", "q_events_winsorize")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("boilerplate scoring is bucketed equi-join work, never all-pairs") {
+    val p = planOf("q_text_boilerplate")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("NestedLoop"), p.take(1200))
+  }
+
+  test("per-source cap pushes the rank cutoff below the shuffle") {
+    assert(planOf("q_source_cap").contains("WindowGroupLimit"))
+  }
+
+  test("table profile is one aggregation job (Expand, no join)") {
+    val p = planOf("q_profile_table")
+    assert(p.contains("Expand"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("decay score shuffles the fact once, on user_id") {
+    val p = planOf("q_events_decay_score")
+    assert(p.contains("Exchange hashpartitioning(user_id"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("embedding normalize is an exchange-free narrow plan") {
+    val p = planOf("q_emb_normalize")
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
 }
