@@ -535,6 +535,38 @@ object CurationQueries {
       r3 AS ${prIter("r2")}
       SELECT node AS doc_id, round(rank, 9) AS rank_r FROM r3"""))
 
+  /** Per-node triangle counts over the LSH near-dup graph
+    * (degree-directed wedge enumeration — O(m^{3/2}) bound, no
+    * hub blow-up). Triangle density separates true duplicate clusters
+    * from chains of borderline matches. */
+  private val triangles = Q("q_graph_triangles",
+    (s, dir) => {
+      val pairs = Dedup.lshCandidates(Dedup.minhashSignatures(
+          Dedup.shingles(Tables.load(s, dir, "documents"))))
+        .select(col("da"), col("db"))
+      graft.operators.Graph.triangles(pairs)
+    },
+    Some(TextQueries.lshPairsCte + raw""",
+      e AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b
+            FROM pairs WHERE da <> db),
+      deg AS (SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node),
+      d AS (SELECT CASE WHEN xa.deg < xb.deg
+                     OR (xa.deg = xb.deg AND e.a < e.b)
+                   THEN e.a ELSE e.b END AS src,
+                   CASE WHEN xa.deg < xb.deg
+                     OR (xa.deg = xb.deg AND e.a < e.b)
+                   THEN e.b ELSE e.a END AS dst
+            FROM e JOIN deg xa ON xa.node = e.a
+                   JOIN deg xb ON xb.node = e.b),
+      w AS (SELECT x.src AS apex, x.dst AS u, y.dst AS v
+            FROM d x JOIN d y ON x.src = y.src AND x.dst < y.dst),
+      tri AS (SELECT apex, u, v FROM w
+              JOIN e ON least(u, v) = e.a AND greatest(u, v) = e.b),
+      pn AS (SELECT unnest([apex, u, v]) AS doc_id FROM tri)
+      SELECT doc_id, count(*) AS n_triangles FROM pn GROUP BY doc_id"""))
+
   /** Per-source cap: at most 10 docs per source, longest-first with
     * doc_id tiebreak — the web-curation domain cap. */
   private val sourceCap = Q("q_source_cap",
@@ -584,8 +616,30 @@ object CurationQueries {
         count(*) FILTER (tp IS NULL), count(DISTINCT tp),
         CAST(min(tp) AS VARCHAR), CAST(max(tp) AS VARCHAR) FROM o"""))
 
+  /** Per-source percent-rank / cume-dist scaling of the length signal —
+    * rank-normalized quality features (scale-free, outlier-immune).
+    * Partitioned by source: one shuffle, never a global single-partition
+    * sort. */
+  private val rankScale = Q("q_quality_rank_scale",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("p_rank", round(percent_rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))), 6))
+        .withColumn("c_dist", round(cume_dist().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))), 6)),
+    Some("""
+      SELECT doc_id, source, n_chars,
+        round(percent_rank() OVER w, 6) AS p_rank,
+        round(cume_dist() OVER w, 6) AS c_dist
+      FROM documents
+      WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)"""))
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, pack, packScalable, packManifest,
-    runCollapse, pretrainPipeline, pagerank, sourceCap, profileTable)
+    runCollapse, pretrainPipeline, pagerank, sourceCap, profileTable,
+    triangles, rankScale)
 }

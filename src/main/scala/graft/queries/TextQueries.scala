@@ -417,7 +417,56 @@ object TextQueries {
         count(*) AS n_docs, min(n_tok) AS min_tok, max(n_tok) AS max_tok
       FROM t GROUP BY 1"""))
 
+  /** Document-level PMI of token pairs: how much more often two tokens
+    * co-occur in a document than independence predicts — the collocation
+    * / phrase-mining primitive. Presence-based (distinct tokens per
+    * doc); pairs with co-doc-frequency < 5 are cut, which is also what
+    * bounds the pair space at scale: the self-join is on doc_id with
+    * per-doc token counts bounded by doc length, and the df tables are
+    * vocabulary-sized (broadcast). ln rounds to 6 dp per the
+    * float-output rule. */
+  private val pmi = Q("q_text_pmi",
+    (s, dir) => {
+      val toks = graft.CacheScope.persist(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens).as("tok"))
+          .distinct())
+      val nd = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val pairs = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+        .agg(count(lit(1)).as("df_ab"))
+        .filter(col("df_ab") >= 5)
+      pairs
+        .join(broadcast(dfreq.select(col("tok").as("ta"),
+          col("df").as("df_a"))), Seq("ta"))
+        .join(broadcast(dfreq.select(col("tok").as("tb"),
+          col("df").as("df_b"))), Seq("tb"))
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("df_a"), col("df_b"),
+          col("df_ab"),
+          round(log((col("df_ab") * col("n_docs")) /
+            (col("df_a") * col("df_b"))), 6).as("pmi"))
+    },
+    Some(raw"""
+      WITH toks AS (SELECT DISTINCT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      p AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS df_ab
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT ta, tb, fa.df AS df_a, fb.df AS df_b, df_ab,
+        round(ln((df_ab * n_docs) / (fa.df * fb.df)), 6) AS pmi
+      FROM p JOIN dfreq fa ON fa.tok = ta
+             JOIN dfreq fb ON fb.tok = tb
+             CROSS JOIN nd"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
-    lshRecall, lmScore, hashTf, boilerplate, tokenHistogram)
+    lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi)
 }
