@@ -851,10 +851,44 @@ object AnalyticsQueries {
           AS decay_score
       FROM t GROUP BY user_id"""))
 
+  /** Mergeable-sketch distinct counting: build an HLL sketch PER
+    * PARTITION of the data (4 disjoint halves by key hash), then union
+    * the sketches and estimate — the property that lets 1000 executors
+    * (or 1000 daily increments) each sketch locally and merge tiny
+    * states instead of re-scanning history. Gate: the merged estimate
+    * must land within the configured relative error of the exact
+    * distinct count (bounds-check pattern, as q_agg_approx_sketches). */
+  private val sketchMerge = Q("q_sketch_mergeable",
+    (s, dir) => {
+      val parts = Tables.load(s, dir, "events")
+        .withColumn("part", pmod(col("event_id"), lit(4)))
+        .groupBy(col("part"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          countDistinct(col("user_id")).as("part_exact"))
+      val merged = parts.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_parts"),
+        sum(col("part_exact")).as("sum_part_exact"))
+      val exact = Tables.load(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact).select(
+        col("exact_users"), col("n_parts"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("merged_ok"),
+        // disjoint-part sanity: per-part exacts can only overcount the
+        // union when users span parts — they do (events per user land in
+        // many residue classes), so the sum strictly exceeds the union
+        (col("sum_part_exact") >= col("exact_users")).as("parts_cover"))
+    },
+    Some("""
+      SELECT count(DISTINCT user_id) AS exact_users,
+        4 AS n_parts, true AS merged_ok, true AS parts_cover
+      FROM events"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
     cohort, sliding, sessionWindow, observed, anomaly, winsorize,
-    decayScore)
+    decayScore, sketchMerge)
 }

@@ -726,8 +726,47 @@ object ParityQueries {
     (s, dir) => Documents.prospectDocument(docInput(s, dir)),
     None)
 
+  /** Array set-operation surface over real token arrays: distinct,
+    * sort, intersect/union/except against a constant stopword set.
+    * Emitted as sizes + sorted joins — element ORDER of set ops is
+    * engine-specific (DuckDB's list_distinct permutes; Spark's
+    * array_intersect keeps left order), so only the set content is the
+    * contract. Narrow per-row expression work, no shuffle. */
+  private val fArray = Q("q_f_array_suite",
+    (s, dir) => {
+      val stops = array(graft.text.TextAnalysis.enStops.map(lit): _*)
+      graft.sources.Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        size(array_distinct(graft.text.TextAnalysis.tokens)).cast("long")
+          .as("n_kinds"),
+        array_join(slice(sort_array(array_distinct(
+          graft.text.TextAnalysis.tokens)), 1, 3), " ").as("first3"),
+        size(array_intersect(graft.text.TextAnalysis.tokens, stops))
+          .cast("long").as("n_stop_kinds"),
+        size(array_except(graft.text.TextAnalysis.tokens, stops))
+          .cast("long").as("n_nonstop_kinds"),
+        size(array_union(graft.text.TextAnalysis.tokens, stops))
+          .cast("long").as("n_union_kinds"))
+    },
+    Some(raw"""
+      WITH t AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS tok,
+          ['the', 'a', 'and', 'of', 'to', 'in', 'is'] AS stops
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(list_distinct(tok)) AS BIGINT) AS n_kinds,
+        array_to_string(list_sort(list_distinct(tok))[1:3], ' ')
+          AS first3,
+        CAST(len(list_intersect(tok, stops)) AS BIGINT) AS n_stop_kinds,
+        CAST(len(list_filter(list_distinct(tok),
+          x -> NOT list_contains(stops, x))) AS BIGINT)
+          AS n_nonstop_kinds,
+        CAST(len(list_distinct(list_concat(tok, stops))) AS BIGINT)
+          AS n_union_kinds
+      FROM t"""))
+
   val all: Seq[Q] = Seq(
-    s1, o2Limit, pShape, fScalar, fDatetime, f5, f19,
+    s1, o2Limit, pShape, fScalar, fDatetime, f5, f19, fArray,
     j1, j2, typed, j3, j3r, j3e, j3a, j4, j6, a3,
     w1, w1s, w2, u1, u2, u3, u4, u5, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)

@@ -361,8 +361,57 @@ object SourceQueries {
         CAST(epoch(d) // 86400 AS BIGINT) AS epoch_day
       FROM cal"""))
 
+  /** S13: opaque binary-object ingest via the `binaryFile` source — the
+    * real multimodal on-ramp (image/audio/video blobs enter the engine
+    * as (path, length, content) rows; `Multimodal.asMedia` takes over
+    * from there). Documents are staged into a multi-file layout, then
+    * re-ingested as opaque blobs; the oracle stats the same staged
+    * objects. Content bytes stay distributed, never on the driver. */
+  private val binaryIngest = Q("q_s13_binary_ingest",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s13_binary_ingest"
+      Tables.load(s, dir, "documents").repartition(4)
+        .write.mode("overwrite").parquet(path)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*.parquet")
+        .load(path)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"))
+    },
+    Some("""
+      SELECT parse_filename(filename) AS file_name,
+        CAST(size AS BIGINT) AS length
+      FROM read_blob(
+        '/root/repo/target/stage/q_s13_binary_ingest/part-*.parquet')"""))
+
+  /** S14: file-provenance columns (`_metadata.file_name`) — per-file row
+    * counts and key ranges over a range-partitioned layout: the
+    * debugging/audit surface a 100 TB lake needs when one bad input
+    * file poisons a build (and the min/max ranges double as the
+    * data-skipping manifest the z-order layout uses). */
+  private val fileProvenance = Q("q_s14_file_provenance",
+    (s, dir) => {
+      val path = "/root/repo/target/stage/q_s14_file_provenance"
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("_metadata.file_name").as("file_name"), col("doc_id"))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+    Some("""
+      SELECT parse_filename(filename) AS file_name, count(*) AS n_rows,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM read_parquet(
+        '/root/repo/target/stage/q_s14_file_provenance/part-*.parquet',
+        filename = true)
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
     partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
     orcRoundtrip, jsonPath, compactSink, jsonCorrupt, prunedScan,
-    calendarDim)
+    calendarDim, binaryIngest, fileProvenance)
 }
