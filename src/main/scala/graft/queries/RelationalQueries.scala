@@ -115,5 +115,32 @@ object RelationalQueries {
       FROM customer JOIN r ON o_custkey = c_custkey
       WHERE rn <= 2"""))
 
-  val all: Seq[Q] = Seq(fullOuter, semiAnti, scalarCorr, lateralTopK)
+  /** J11: null-safe equality join (`<=>` / IS NOT DISTINCT FROM). Open
+    * orders carry a NULL channel; a plain equi-join silently drops them,
+    * the null-safe key matches them to the dim's NULL row. EqualNullSafe
+    * is still a hashable key (coalesce-tagged), so Catalyst plans a
+    * broadcast hash join — null-safety costs no plan quality. */
+  private val nullSafeJoin = Q("q_j11_null_safe_join",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio"))
+      val dim = o.select(col("prio").as("d_prio")).distinct()
+        .withColumn("prio_code",
+          concat(lit("P_"), coalesce(col("d_prio"), lit("UNSET"))))
+      o.join(broadcast(dim), col("prio") <=> col("d_prio"))
+        .select(col("o_orderkey"), col("prio"), col("prio_code"))
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'O' THEN NULL
+               ELSE o_orderpriority END AS prio
+        FROM orders),
+      dim AS (SELECT DISTINCT prio,
+          'P_' || coalesce(prio, 'UNSET') AS prio_code FROM o)
+      SELECT o.o_orderkey, o.prio, dim.prio_code
+      FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio"""))
+
+  val all: Seq[Q] = Seq(fullOuter, semiAnti, scalarCorr, lateralTopK,
+    nullSafeJoin)
 }

@@ -201,4 +201,10 @@ class PlanSpec extends SparkSuite {
     val p = planOf("q_emb_normalize")
     assert(!p.contains("Exchange"), p.take(1200))
   }
+
+  test("null-safe equality still hashes: broadcast join, no nested loop") {
+    val p = planOf("q_j11_null_safe_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("NestedLoop"), p.take(1200))
+  }
 }
