@@ -372,15 +372,19 @@ object SourceQueries {
       val path = "/root/repo/target/stage/q_s13_binary_ingest"
       Tables.load(s, dir, "documents").repartition(4)
         .write.mode("overwrite").parquet(path)
+      // part ordinal, not the raw file name: Spark part files embed a
+      // per-job UUID, which would break cross-run determinism
       s.read.format("binaryFile")
         .option("pathGlobFilter", "part-*.parquet")
         .load(path)
         .select(
-          element_at(split(col("path"), "/"), -1).as("file_name"),
+          regexp_extract(element_at(split(col("path"), "/"), -1),
+            "part-([0-9]+)", 1).cast("long").as("file_idx"),
           col("length"))
     },
     Some("""
-      SELECT parse_filename(filename) AS file_name,
+      SELECT CAST(regexp_extract(parse_filename(filename),
+          'part-([0-9]+)', 1) AS BIGINT) AS file_idx,
         CAST(size AS BIGINT) AS length
       FROM read_blob(
         '/root/repo/target/stage/q_s13_binary_ingest/part-*.parquet')"""))
@@ -396,14 +400,19 @@ object SourceQueries {
       Tables.load(s, dir, "documents")
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(path)
+      // part ordinal, not the raw file name (per-job UUID — see S13)
       s.read.parquet(path)
-        .select(col("_metadata.file_name").as("file_name"), col("doc_id"))
-        .groupBy(col("file_name"))
+        .select(regexp_extract(col("_metadata.file_name"),
+            "part-([0-9]+)", 1).cast("long").as("file_idx"),
+          col("doc_id"))
+        .groupBy(col("file_idx"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     },
     Some("""
-      SELECT parse_filename(filename) AS file_name, count(*) AS n_rows,
+      SELECT CAST(regexp_extract(parse_filename(filename),
+          'part-([0-9]+)', 1) AS BIGINT) AS file_idx,
+        count(*) AS n_rows,
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM read_parquet(
         '/root/repo/target/stage/q_s14_file_provenance/part-*.parquet',
