@@ -106,6 +106,17 @@ object PipelineQueries {
        AND c.click_ts >= s.signup_ts
        AND c.click_ts <= s.signup_ts + INTERVAL 1 HOUR"""))
 
+  /** Spark 4 transformWithState (RocksDB provider): per-user running
+    * aggregate across 4 real micro-batches; converged state must equal
+    * the batch groupBy exactly. */
+  private val streamTws = Q("q_stream_transform_state",
+    (s, dir) => graft.streaming.TransformWithState.runningUserAggregates(
+      s, dir, "/root/repo/target/stage/q_stream_transform_state"),
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+        max(epoch_us(ts)) AS last_ts_us
+      FROM events GROUP BY user_id"""))
+
   /** Flagship pipeline over the query-arg scale factor (rows-only: output
     * is deeply nested). */
   private val flagship = Q("q_flagship_pipeline",
@@ -347,5 +358,6 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
-    streamOuter, streamMerge, flagship, flagshipFlat, outbound, outboundFlat)
+    streamOuter, streamMerge, streamTws, flagship, flagshipFlat, outbound,
+    outboundFlat)
 }

@@ -419,8 +419,55 @@ object SourceQueries {
         filename = true)
       GROUP BY 1"""))
 
+  /** S15: semi-structured lift via the native VARIANT type (Spark 4) —
+    * `parse_json` once into a binary-encoded variant column, then typed
+    * `variant_get` paths. At 100 TB this beats repeated string JSON
+    * parsing: the variant encodes once at ingest and every downstream
+    * extraction is a binary path walk, shredding-friendly. Oracle is
+    * DuckDB's JSON extraction over the same props. */
+  private val variantLift = Q("q_s15_variant_lift",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", "event_type",
+          "parse_json(props) AS v")
+        .selectExpr("event_type",
+          "variant_get(v, '$.k', 'long') AS k")
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    },
+    Some("""
+      SELECT event_type,
+        CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+        count(*) AS n,
+        min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      FROM events GROUP BY 1, 2"""))
+
+  /** SQL pipe syntax (Spark 4): the pricing-summary aggregation written
+    * as a `|>` pipeline — same relation, linear dataflow spelling; the
+    * oracle is the classic form. Dialect surface only: the plan is
+    * identical to the GROUP BY form. */
+  private val pipeSyntax = Q("q_sql_pipe_agg",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        FROM lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+           GROUP BY l_returnflag, l_linestatus""")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS sum_price
+      FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag, l_linestatus"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
     partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
     orcRoundtrip, jsonPath, compactSink, jsonCorrupt, prunedScan,
-    calendarDim, binaryIngest, fileProvenance)
+    calendarDim, binaryIngest, fileProvenance, variantLift, pipeSyntax)
 }
