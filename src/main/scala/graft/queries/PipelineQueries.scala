@@ -117,6 +117,29 @@ object PipelineQueries {
         max(epoch_us(ts)) AS last_ts_us
       FROM events GROUP BY user_id"""))
 
+  /** State-store reader: after the transformWithState run converges,
+    * re-open its RocksDB checkpoint OFFLINE with the `statestore` batch
+    * source and audit the typed state directly — the observability path
+    * for debugging a 100 TB streaming job's state without touching the
+    * running query. The audited state must equal the batch groupBy. */
+  private val stateReader = Q("q_stream_state_reader",
+    (s, dir) => {
+      val work = "/root/repo/target/stage/q_stream_state_reader"
+      // run the stateful pipeline to produce a fresh checkpoint
+      graft.streaming.TransformWithState.runningUserAggregates(s, dir, work)
+        .count()
+      s.read.format("statestore")
+        .option("stateVarName", "agg")
+        .load(s"$work/ckpt")
+        .select(col("key.value").as("user_id"),
+          col("value.n").as("n_events"),
+          col("value.maxTs").as("last_ts_us"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+        max(epoch_us(ts)) AS last_ts_us
+      FROM events GROUP BY user_id"""))
+
   /** Flagship pipeline over the query-arg scale factor (rows-only: output
     * is deeply nested). */
   private val flagship = Q("q_flagship_pipeline",
@@ -358,6 +381,6 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
-    streamOuter, streamMerge, streamTws, flagship, flagshipFlat, outbound,
-    outboundFlat)
+    streamOuter, streamMerge, streamTws, stateReader, flagship,
+    flagshipFlat, outbound, outboundFlat)
 }
