@@ -885,10 +885,42 @@ object AnalyticsQueries {
         4 AS n_parts, true AS merged_ok, true AS parts_cover
       FROM events"""))
 
+  /** Value-positional window functions: first/last/nth over an explicit
+    * FULL frame (the default running frame makes last_value = current
+    * row — the classic trap), plus frameless lead. Completes the window
+    * surface next to rank/lag/ntile/percent_rank elsewhere. One shuffle
+    * on the partition key. */
+  private val windowValues = Q("q_window_value_functions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("top_price", first(col("o_totalprice")).over(full))
+        .withColumn("bottom_price", last(col("o_totalprice")).over(full))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        first_value(o_totalprice) OVER wf AS top_price,
+        last_value(o_totalprice) OVER wf AS bottom_price,
+        nth_value(o_orderkey, 2) OVER wf AS second_key,
+        lead(o_totalprice) OVER w AS next_price
+      FROM orders
+      WINDOW
+        w AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey),
+        wf AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
     cohort, sliding, sessionWindow, observed, anomaly, winsorize,
-    decayScore, sketchMerge)
+    decayScore, sketchMerge, windowValues)
 }
