@@ -140,6 +140,90 @@ object PipelineQueries {
         max(epoch_us(ts)) AS last_ts_us
       FROM events GROUP BY user_id"""))
 
+  /** User-360 composition, hash-checked end-to-end: sessionization +
+    * time-decay engagement + outlier counts joined into one per-user
+    * materialization — the "user feature table" an events warehouse
+    * serves. Every leg is an independently-oracled operator (the
+    * sessionizer, the integer-exact decay score, the broadcast-stats
+    * z-score); the composition check catches wiring bugs between them.
+    * Shape: three user-keyed aggregates + two joins, all hashed on
+    * user_id — one logical shuffle key end to end. */
+  private val user360 = Q("q_user360_pipeline",
+    (s, dir) => {
+      val ev = graft.CacheScope.persist(Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+      val sessions = graft.streaming.Sessionize.batch(ev)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+      val maxE = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      val decay = ev.crossJoin(broadcast(maxE))
+        .withColumn("age_days",
+          expr("(max_us - unix_micros(ts)) DIV 86400000000"))
+        .withColumn("term", (round(col("value") * 100).cast("long") *
+          expr("shiftleft(1L, cast(40 - least(age_days, 40) as int))"))
+          .cast("decimal(38,0)"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("term")).cast("double") /
+          (lit(100.0) * pow(lit(2.0), 40)), 6).as("decay_score"))
+      val st = ev.groupBy(col("event_type")).agg(
+        avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      val anomalies = ev.join(broadcast(st), Seq("event_type"))
+        .filter(abs((col("value") - col("mu")) / col("sigma")) > 2.5)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_anomalies"))
+      sessions.join(decay, Seq("user_id"))
+        .join(anomalies, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          col("decay_score"),
+          coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+            AS ns
+        FROM l),
+      se AS (
+        SELECT user_id,
+          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM f),
+      sess AS (
+        SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+          count(*) AS n_events
+        FROM se GROUP BY user_id),
+      m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+      dt AS (SELECT user_id,
+          CAST(round(value * 100) AS BIGINT) *
+            (CAST(1 AS BIGINT) << CAST(40 - least(
+              (max_us - epoch_us(ts)) // 86400000000, 40) AS INT)) AS term
+        FROM events, m),
+      decay AS (
+        SELECT user_id,
+          round(CAST(sum(term) AS DOUBLE) / (100.0 * 1099511627776.0), 6)
+            AS decay_score
+        FROM dt GROUP BY user_id),
+      st AS (SELECT event_type, avg(value) AS mu,
+          stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type),
+      an AS (
+        SELECT user_id, count(*) AS n_anomalies
+        FROM events e JOIN st USING (event_type)
+        WHERE abs((value - mu) / sigma) > 2.5
+        GROUP BY user_id)
+      SELECT s.user_id, s.n_sessions, s.n_events, d.decay_score,
+        coalesce(an.n_anomalies, 0) AS n_anomalies
+      FROM sess s JOIN decay d ON s.user_id = d.user_id
+      LEFT JOIN an ON s.user_id = an.user_id"""))
+
   /** Flagship pipeline over the query-arg scale factor (rows-only: output
     * is deeply nested). */
   private val flagship = Q("q_flagship_pipeline",
@@ -381,6 +465,6 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
-    streamOuter, streamMerge, streamTws, stateReader, flagship,
+    streamOuter, streamMerge, streamTws, stateReader, user360, flagship,
     flagshipFlat, outbound, outboundFlat)
 }

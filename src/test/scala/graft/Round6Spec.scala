@@ -85,6 +85,33 @@ class Round6Spec extends SparkSuite {
     outer.unpersist()
   }
 
+  test("triangles: a chain has none; a closed triple counts once per vertex") {
+    val schema = StructType(Seq(
+      StructField("da", LongType), StructField("db", LongType)))
+    def edges(rows: (Long, Long)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    // chain 1-2-3-4: zero triangles
+    assert(graft.operators.Graph.triangles(
+      edges((1L, 2L), (2L, 3L), (3L, 4L))).count() == 0)
+    // triangle 1-2-3 plus a pendant 3-4 (and a reversed duplicate edge,
+    // which must canonicalize away)
+    val out = graft.operators.Graph.triangles(
+      edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("profile of an empty table: zero rows, zero distincts, null min/max") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    val p = graft.operators.Profile.table(empty, Seq("k")).collect()
+    assert(p.length == 1)
+    assert(p(0).getAs[Long]("n_rows") == 0)
+    assert(p(0).getAs[Long]("n_distinct") == 0)
+    assert(p(0).getAs[String]("min_val") == null)
+  }
+
   test("decay score: an event at the corpus max timestamp contributes its full value") {
     val out = SparkEntry.queries("q_events_decay_score")(spark, sf)
     // scores are positive and bounded by each user's raw value sum
