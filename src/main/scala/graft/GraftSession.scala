@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: one place that knows the session configuration
+  * the engine requires, so host apps (and the four driver mains) can't
+  * drift apart on it.
+  *
+  * The non-negotiable configs and why:
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — the events table carries
+  *    parquet TIMESTAMP(NANOS), which Spark only reads as raw longs;
+  *    `Tables.load` then normalizes to a real TimestampType. Without the
+  *    flag the scan dies with PARQUET_TYPE_ILLEGAL.
+  *  - `spark.sql.session.timeZone=UTC` — every timestamp function in the
+  *    engine (and every oracle) assumes UTC; a host-local zone would
+  *    silently shift date_format/window boundaries.
+  *  - AQE on — the skew-join and auto-broadcast behavior the operators
+  *    document (and PlanSpec asserts) assume runtime re-planning.
+  *  - `spark.sql.extensions=graft.GraftExtensions` — registers the
+  *    codegen-native functions (`dot_f64`) without host code changes.
+  *
+  * Shuffle partitions default to the core count: on a laptop-sized
+  * `local[n]` the 200-partition default just multiplies task overhead;
+  * a real cluster deployment overrides this to ~2-3× its executor-core
+  * total.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+
+  /** Local session sized to `cpus` threads — the mains' form. */
+  def local(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Core-count from the driver contract env, default 4. */
+  def envCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+}
