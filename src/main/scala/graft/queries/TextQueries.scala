@@ -466,7 +466,25 @@ object TextQueries {
              JOIN dfreq fb ON fb.tok = tb
              CROSS JOIN nd"""))
 
+  /** Exact Jaccard-≥-0.5 pairs via prefix filtering — no df cap, no
+    * all-pairs join; the brute-force oracle proves completeness. */
+  private val prefixJaccard = Q("q_dedup_prefix_jaccard",
+    (s, dir) => Dedup.prefixJaccardPairs(
+      Dedup.shingles(Tables.load(s, dir, "documents")), threshold = 0.5),
+    Some(shCte + raw""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+                FROM sh a JOIN sh b USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db, n_common,
+        CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
-    lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi)
+    lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi,
+    prefixJaccard)
 }

@@ -115,6 +115,53 @@ object Dedup {
       .select("da", "db", "n_common", "jaccard")
   }
 
+  /** EXACT similarity join by prefix filtering (AllPairs/PPJoin family,
+    * Bayardo et al., WWW'07): guaranteed-complete Jaccard-≥-t pairs
+    * WITHOUT a df cap and without the all-pairs join.
+    *
+    * Filter: order each document's shingles rarest-first (global df,
+    * shingle text as tiebreak — an ordering, not a global rank: no
+    * single-partition window anywhere) and keep the first
+    * n − ⌈t·n⌉ + 1 as its prefix. Two sets with Jaccard ≥ t overlap in
+    * > n − ⌈t·n⌉ elements, so they MUST share a prefix element —
+    * candidates are the prefix inverted-index join, whose postings are
+    * short because prefixes hold the rarest shingles. Verification
+    * joins candidates back to the full shingle sets (equi on (doc, s))
+    * for the exact intersection. The oracle is the brute-force
+    * all-pairs Jaccard: hash-equality proves the filter lost nothing.
+    */
+  def prefixJaccardPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sh = graft.CacheScope.persist(sh0)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = graft.CacheScope.persist(
+      sh.join(dfreq, "s")
+        .withColumn("rn", row_number().over(byRarity))
+        .join(sizes, "doc_id")
+        .filter(col("rn") <=
+          col("n") - ceil(lit(threshold) * col("n")) + 1)
+        .select(col("doc_id"), col("s")))
+    val cands = prefix.alias("pa").join(prefix.alias("pb"),
+        col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"))
+      .distinct()
+    // exact verification on candidates only: (doc, s) equi-joins
+    val common = cands
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("n_common"), col("jaccard"))
+  }
+
   /** Incremental corpus update: dedup a NEW batch against the existing
     * corpus without re-fingerprinting the corpus' documents pairwise —
     * the daily-ingest shape. Within-batch dupes collapse to the min

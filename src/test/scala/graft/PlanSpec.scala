@@ -202,6 +202,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(1200))
   }
 
+  test("prefix-filtered similarity join is all equi-joins, never all-pairs") {
+    val p = planOf("q_dedup_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("NestedLoop"), p.take(1200))
+  }
+
   test("null-safe equality still hashes: broadcast join, no nested loop") {
     val p = planOf("q_j11_null_safe_join")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
