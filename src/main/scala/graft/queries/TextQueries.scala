@@ -483,8 +483,65 @@ object TextQueries {
       JOIN sizes sb ON db = sb.doc_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""))
 
+  /** Corpus drift monitor: add-1-smoothed unigram KL divergence between
+    * two corpus slices (sources src0–src9 vs src10–src19) — the
+    * distribution-shift alarm a continuously-ingesting pipeline runs
+    * between yesterday's corpus and today's. Per-token ln terms round
+    * to 6 dp and sum as DECIMAL(18,6) (the lmScore rule), so the
+    * reduction is order-exact. Dataflow: one token count per slice
+    * (map-side combined), a full-outer vocab join, broadcast totals —
+    * the fact never shuffles twice. */
+  private val corpusDrift = Q("q_corpus_drift",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .withColumn("grp",
+          when(regexp_extract(col("source"), "src([0-9]+)", 1)
+            .cast("int") < 10, "a").otherwise("b"))
+        .select(col("grp"), explode(TextAnalysis.tokens).as("tok"))
+      val counts = graft.CacheScope.persist(
+        toks.groupBy(col("tok")).agg(
+          sum(when(col("grp") === "a", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === "b", 1L).otherwise(0L)).as("cb")))
+      val totals = counts.agg(sum(col("ca")).as("ta"),
+        sum(col("cb")).as("tb"), count(lit(1)).as("v"))
+      val p = (col("ca") + 1).cast("double") / (col("ta") + col("v"))
+      val q = (col("cb") + 1).cast("double") / (col("tb") + col("v"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("v"),
+          round(p * log(p / q), 6).cast("decimal(18,6)").as("t_ab"),
+          round(q * log(q / p), 6).cast("decimal(18,6)").as("t_ba"))
+        .groupBy(col("v"))
+        .agg(sum(col("t_ab")).cast("double").as("kl_ab"),
+          sum(col("t_ba")).cast("double").as("kl_ba"))
+    },
+    Some(raw"""
+      WITH toks AS (SELECT
+          CASE WHEN CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT)
+            < 10 THEN 'a' ELSE 'b' END AS grp,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+      counts AS (SELECT tok,
+          count(*) FILTER (grp = 'a') AS ca,
+          count(*) FILTER (grp = 'b') AS cb
+        FROM toks GROUP BY tok),
+      totals AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+          CAST(sum(cb) AS BIGINT) AS tb, count(*) AS v FROM counts),
+      terms AS (SELECT v,
+          CAST(round(((ca + 1) / CAST(ta + v AS DOUBLE)) *
+            ln(((ca + 1) / CAST(ta + v AS DOUBLE)) /
+               ((cb + 1) / CAST(tb + v AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS t_ab,
+          CAST(round(((cb + 1) / CAST(tb + v AS DOUBLE)) *
+            ln(((cb + 1) / CAST(tb + v AS DOUBLE)) /
+               ((ca + 1) / CAST(ta + v AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS t_ba
+        FROM counts, totals)
+      SELECT v, CAST(sum(t_ab) AS DOUBLE) AS kl_ab,
+        CAST(sum(t_ba) AS DOUBLE) AS kl_ba
+      FROM terms GROUP BY v"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
     lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi,
-    prefixJaccard)
+    prefixJaccard, corpusDrift)
 }
