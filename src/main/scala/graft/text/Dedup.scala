@@ -144,18 +144,23 @@ object Dedup {
         .filter(col("rn") <=
           col("n") - ceil(lit(threshold) * col("n")) + 1)
         .select(col("doc_id"), col("s")))
+    // length-ratio pruning (exactness-preserving): Jaccard ≥ t forces
+    // t·max(na,nb) ≤ min(na,nb), so size-mismatched candidates are cut
+    // BEFORE the verification joins touch the full shingle sets
     val cands = prefix.alias("pa").join(prefix.alias("pb"),
         col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
       .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"))
       .distinct()
-    // exact verification on candidates only: (doc, s) equi-joins
-    val common = cands
-      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
-    common
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(least(col("na"), col("nb")) >=
+        ceil(lit(threshold) * greatest(col("na"), col("nb"))))
+    // exact verification on surviving candidates only: (doc, s) equi-joins
+    cands
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
