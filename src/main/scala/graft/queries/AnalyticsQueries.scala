@@ -917,10 +917,37 @@ object AnalyticsQueries {
                ORDER BY o_totalprice DESC, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
 
+  /** Robust scaling: (value − median) / IQR per event_type — the
+    * outlier-immune normalization next to the z-score (mean/σ are
+    * dragged by the tails robust stats ignore). Same two-phase shape:
+    * exact percentiles down to |event_type| rows, broadcast back over
+    * the unshuffled fact. */
+  private val robustScale = Q("q_events_robust_scale",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val st = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.75) - percentile(value, 0.25)")
+          .as("iqr"))
+      ev.join(broadcast(st), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("med")) / col("iqr"), 6)
+            .as("robust_z"))
+    },
+    Some("""
+      WITH st AS (SELECT event_type,
+          quantile_cont(value, 0.5) AS med,
+          quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        FROM events GROUP BY event_type)
+      SELECT event_id, e.event_type, value,
+        round((value - med) / iqr, 6) AS robust_z
+      FROM events e JOIN st USING (event_type)"""))
+
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,
     distinctCount, salted, saltedJoin, sketches, topkAgg, percentiles, asof,
     rangeJoin, rangeJoinUnkeyed, scd2, resample, unpivot, groupingSets,
     zorder, mergeUpsert, mergeCdc, stats, windowTimeRange, ivm, funnel,
     cohort, sliding, sessionWindow, observed, anomaly, winsorize,
-    decayScore, sketchMerge, windowValues)
+    decayScore, sketchMerge, windowValues, robustScale)
 }

@@ -540,8 +540,58 @@ object TextQueries {
         CAST(sum(t_ba) AS DOUBLE) AS kl_ba
       FROM terms GROUP BY v"""))
 
+  /** Near-subset containment pairs: common/min(na,nb) ≥ 0.9 — the
+    * asymmetric complement to Jaccard. A short document quoted inside a
+    * long one scores low Jaccard (union dominated by the long doc) but
+    * containment ≈ 1; dedup pipelines need both. Candidates come from
+    * the same frequency-capped inverted index as the Jaccard pass. */
+  private val containment = Q("q_dedup_containment",
+    (s, dir) => {
+      val sh = graft.CacheScope.persist(
+        Dedup.shingles(Tables.load(s, dir, "documents")))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val a = sh.join(dfreq.filter(col("df") <= 10), "s").alias("a")
+      val pairs = a.join(sh.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.s").as("s")).distinct()
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_rare_common"))
+      // exact common count over candidates (rare-shingle overlap is the
+      // candidate filter; containment is computed on the FULL sets)
+      pairs.select(col("da"), col("db"))
+        .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("containment", col("n_common").cast("double") /
+          least(col("na"), col("nb")))
+        .filter(col("containment") >= 0.9)
+        .select(col("da"), col("db"), col("n_common"),
+          round(col("containment"), 6).as("containment"))
+    },
+    Some(shCte + raw""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM sh a JOIN sh b USING (s) JOIN dfreq USING (s)
+               WHERE a.doc_id < b.doc_id AND df <= 10),
+      common AS (SELECT c.da, c.db, count(*) AS n_common
+                 FROM cand c JOIN sh a ON a.doc_id = c.da
+                 JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                 GROUP BY 1, 2)
+      SELECT da, db, n_common,
+        round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6)
+          AS containment
+      FROM common
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.9"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
     lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi,
-    prefixJaccard, corpusDrift)
+    prefixJaccard, corpusDrift, containment)
 }
