@@ -366,7 +366,13 @@ object SourceQueries {
     * as (path, length, content) rows; `Multimodal.asMedia` takes over
     * from there). Documents are staged into a multi-file layout, then
     * re-ingested as opaque blobs; the oracle stats the same staged
-    * objects. Content bytes stay distributed, never on the driver. */
+    * objects. Content bytes stay distributed, never on the driver.
+    *
+    * Staged-path-oracle protocol note (also S14): the DuckDB twin reads
+    * the files THIS run staged, so dump and compare must run against
+    * one scale factor at a time — interleaving a second-sf Verify
+    * between dump and compare overwrites the stage and misreads as a
+    * hash mismatch. The driver's gate is single-sf by construction. */
   private val binaryIngest = Q("q_s13_binary_ingest",
     (s, dir) => {
       val path = "/root/repo/target/stage/q_s13_binary_ingest"
