@@ -71,4 +71,36 @@ object Delta {
     Seq(("src_minus_tgt", a), ("tgt_minus_src", b))
       .toDF("direction", "n").orderBy("direction")
   }
+
+  /** Snapshot diff: derive the INSERT/UPDATE/DELETE changeset between
+    * two snapshots of a keyed table — the inverse of `Merge.applyCdc`
+    * (which consumes such a changeset). This is how an incremental
+    * pipeline turns "yesterday's table, today's table" into the delta
+    * it actually ships: one full-outer join on the key, row classified
+    * by side-presence and column inequality (null-safe, so NULL→value
+    * and value→NULL both count as updates). Unchanged rows drop out.
+    * One shuffle per side on the key; at 100 TB both snapshots are
+    * usually bucketed on the key and the join co-locates for free. */
+  def snapshotDiff(old: DataFrame, current: DataFrame,
+      key: String): DataFrame = {
+    require(old.columns.sameElements(current.columns),
+      "snapshotDiff expects identical schemas")
+    val valueCols = old.columns.filterNot(_ == key).toSeq
+    val o = old.select(old.columns.map(c => col(c).as(s"o_$c")).toSeq: _*)
+    val n = current.select(
+      current.columns.map(c => col(c).as(s"n_$c")).toSeq: _*)
+    val joined = o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+    val changed = valueCols
+      .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("op",
+        when(col(s"o_$key").isNull, "I")
+          .when(col(s"n_$key").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(Seq(coalesce(col(s"n_$key"), col(s"o_$key")).as(key),
+        col("op")) ++
+        valueCols.map(c => col(s"n_$c").as(c)): _*)
+  }
 }

@@ -472,8 +472,50 @@ object SourceQueries {
       FROM lineitem WHERE l_quantity > 10
       GROUP BY l_returnflag, l_linestatus"""))
 
+  /** Snapshot diff: yesterday's table vs today's → the I/U/D changeset
+    * (`Delta.snapshotDiff`, the inverse of the CDC apply). Snapshots
+    * are derived deterministically from orders: every 7th key deleted,
+    * every 5th repriced, every 11th re-inserted under a shifted key. */
+  private val snapshotDiff = Q("q_snapshot_diff",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val curr = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      Delta.snapshotDiff(base, curr, "o_orderkey")
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders),
+      curr AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+               ELSE o_totalprice END AS o_totalprice
+        FROM base WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        FROM base WHERE o_orderkey % 11 = 0),
+      j AS (SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN b.o_orderkey IS NULL THEN 'I'
+               WHEN c.o_orderkey IS NULL THEN 'D'
+               WHEN b.o_totalprice IS DISTINCT FROM c.o_totalprice
+                 OR b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+               THEN 'U' END AS op,
+          c.o_orderstatus AS o_orderstatus,
+          c.o_totalprice AS o_totalprice
+        FROM base b FULL JOIN curr c ON b.o_orderkey = c.o_orderkey)
+      SELECT o_orderkey, op, o_orderstatus, o_totalprice
+      FROM j WHERE op IS NOT NULL"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
     partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
     orcRoundtrip, jsonPath, compactSink, jsonCorrupt, prunedScan,
-    calendarDim, binaryIngest, fileProvenance, variantLift, pipeSyntax)
+    calendarDim, binaryIngest, fileProvenance, variantLift, pipeSyntax,
+    snapshotDiff)
 }

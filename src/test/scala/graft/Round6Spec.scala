@@ -112,6 +112,29 @@ class Round6Spec extends SparkSuite {
     assert(p(0).getAs[String]("min_val") == null)
   }
 
+  test("snapshotDiff ∘ applyChanges is the identity: changeset replays to today's snapshot") {
+    val base = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val curr = base.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    val diff = graft.operators.Delta.snapshotDiff(base, curr, "o_orderkey")
+    val changes = diff
+      .withColumn("__del", col("op") === "D").drop("op")
+      // deletes carry null value columns; applyChanges only needs the key
+    val replayed = graft.operators.Merge.applyChanges(
+      base.withColumn("__del", lit(false)).drop("__del"), changes,
+      Seq("o_orderkey"), "__del")
+    assert(replayed.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .except(curr).count() == 0)
+    assert(curr.except(replayed
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")).count() == 0)
+  }
+
   test("decay score: an event at the corpus max timestamp contributes its full value") {
     val out = SparkEntry.queries("q_events_decay_score")(spark, sf)
     // scores are positive and bounded by each user's raw value sum
