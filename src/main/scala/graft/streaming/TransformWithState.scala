@@ -6,6 +6,19 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
+/** (n_events, max_ts_us) per user — running state.
+  *
+  * Top-level (NOT nested in the object): Janino's generated code calls
+  * the accessors via the companion-qualified name, and a nested/private
+  * case class makes every such call fail to compile, silently dropping
+  * the whole stateful pipeline to interpreter-mode projections. Keeping
+  * these at package level keeps the hot path inside whole-stage codegen.
+  */
+case class TwsAgg(n: Long, maxTs: Long)
+
+/** Emitted on every update; the oracle keeps each user's final row. */
+case class TwsUserAgg(user_id: Long, n_events: Long, last_ts_us: Long)
+
 /** Arbitrary stateful processing on the Spark 4 `transformWithState`
   * API — the successor to mapGroupsWithState: typed per-key state
   * handles (value/list/map), timers, TTL, and the RocksDB state store
@@ -20,27 +33,22 @@ import org.apache.spark.sql.types._
   */
 object TransformWithState {
 
-  /** (n_events, max_ts_us) per user — running state. */
-  private case class Agg(n: Long, maxTs: Long)
-  /** Emitted on every update; the oracle keeps each user's final row. */
-  private case class UserAgg(user_id: Long, n_events: Long, last_ts_us: Long)
-
   private class CountProcessor
-      extends StatefulProcessor[Long, (Long, Long), UserAgg] {
-    @transient private var state: ValueState[Agg] = _
+      extends StatefulProcessor[Long, (Long, Long), TwsUserAgg] {
+    @transient private var state: ValueState[TwsAgg] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[Agg]("agg",
-        Encoders.product[Agg], TTLConfig.NONE)
+      state = getHandle.getValueState[TwsAgg]("agg",
+        Encoders.product[TwsAgg], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
-        timerValues: TimerValues): Iterator[UserAgg] = {
-      val prev = Option(state.get()).getOrElse(Agg(0L, Long.MinValue))
+        timerValues: TimerValues): Iterator[TwsUserAgg] = {
+      val prev = Option(state.get()).getOrElse(TwsAgg(0L, Long.MinValue))
       var n = prev.n
       var mx = prev.maxTs
       rows.foreach { case (_, ts) => n += 1; if (ts > mx) mx = ts }
-      state.update(Agg(n, mx))
-      Iterator.single(UserAgg(key, n, mx))
+      state.update(TwsAgg(n, mx))
+      Iterator.single(TwsUserAgg(key, n, mx))
     }
   }
 
@@ -82,7 +90,7 @@ object TransformWithState {
         .groupByKey(_._1)
         .mapValues(r => (r._2, r._3))
         .transformWithState(new CountProcessor,
-          TimeMode.None(), OutputMode.Update(), Encoders.product[UserAgg])
+          TimeMode.None(), OutputMode.Update(), Encoders.product[TwsUserAgg])
       val q = updates.toDF().writeStream
         .outputMode("update")
         .format("memory")
