@@ -544,7 +544,10 @@ object TextQueries {
     * asymmetric complement to Jaccard. A short document quoted inside a
     * long one scores low Jaccard (union dominated by the long doc) but
     * containment ≈ 1; dedup pipelines need both. Candidates come from
-    * the same frequency-capped inverted index as the Jaccard pass. */
+    * the same frequency-capped inverted index as the Jaccard pass — a
+    * RECALL-BOUNDED variant (a pair whose every shared shingle has
+    * df > 10 is invisible); `q_dedup_containment_exact` below is the
+    * guaranteed-complete prefix-filtered form. */
   private val containment = Q("q_dedup_containment",
     (s, dir) => {
       val sh = graft.CacheScope.persist(
@@ -590,8 +593,29 @@ object TextQueries {
       JOIN sizes sb ON db = sb.doc_id
       WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.9"""))
 
+  /** EXACT containment-≥-0.9 pairs via the asymmetric prefix filter
+    * (prefix on the smaller set only, full index on the larger) — the
+    * guaranteed-complete replacement for the df-capped candidate pass
+    * above. The oracle is the UNCAPPED brute-force all-pairs
+    * containment: hash-equality proves no qualifying pair was lost. */
+  private val containmentExact = Q("q_dedup_containment_exact",
+    (s, dir) => Dedup.prefixContainmentPairs(
+      Dedup.shingles(Tables.load(s, dir, "documents")), threshold = 0.9),
+    Some(shCte + raw""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+                 FROM sh a JOIN sh b USING (s)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db, n_common,
+        round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6)
+          AS containment
+      FROM common
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.9"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
     lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi,
-    prefixJaccard, corpusDrift, containment)
+    prefixJaccard, corpusDrift, containment, containmentExact)
 }

@@ -167,6 +167,57 @@ object Dedup {
       .select(col("da"), col("db"), col("n_common"), col("jaccard"))
   }
 
+  /** ALL pairs with set containment |A∩B| / min(|A|,|B|) ≥ `threshold`,
+    * exactly (PPJoin family, containment predicate) — no df cap, no
+    * all-pairs join.
+    *
+    * Asymmetric prefix filter: only the SMALLER set of a pair needs a
+    * prefix. If |A| ≤ |B| and containment ≥ t then B holds ≥ ⌈t·|A|⌉ of
+    * A's shingles, i.e. misses at most |A| − ⌈t·|A|⌉ — so any
+    * |A| − ⌈t·|A|⌉ + 1 elements of A include a shared one. Candidates =
+    * prefix(smaller) ⋈ full-index(larger); probing with each doc's
+    * RAREST shingles keeps the touched posting lists short (the same
+    * rarity order as the Jaccard prefix, but the larger side cannot be
+    * prefixed at all — a tiny doc may sit anywhere inside a huge one,
+    * which is also why no length-ratio prune applies). Verification is
+    * the exact (doc, s) equi-join count over surviving candidates. The
+    * brute-force all-pairs oracle proves the filter lost nothing.
+    */
+  def prefixContainmentPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sh = graft.CacheScope.persist(sh0)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val shn = graft.CacheScope.persist(sh.join(sizes, "doc_id"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = shn.join(dfreq, "s")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("s"), col("n"))
+    // the (n, doc_id) lexicographic tiebreak makes exactly one side of
+    // every pair the probe, so each qualifying pair is generated once
+    val cands = prefix.alias("pa").join(shn.alias("fb"),
+        col("pa.s") === col("fb.s") &&
+        (col("pa.n") < col("fb.n") ||
+          (col("pa.n") === col("fb.n") &&
+           col("pa.doc_id") < col("fb.doc_id"))))
+      .select(least(col("pa.doc_id"), col("fb.doc_id")).as("da"),
+        greatest(col("pa.doc_id"), col("fb.doc_id")).as("db"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("containment", col("n_common").cast("double") /
+        least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("da"), col("db"), col("n_common"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Incremental corpus update: dedup a NEW batch against the existing
     * corpus without re-fingerprinting the corpus' documents pairwise —
     * the daily-ingest shape. Within-batch dupes collapse to the min

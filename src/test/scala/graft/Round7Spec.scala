@@ -67,4 +67,28 @@ class Round7Spec extends SparkSuite {
       .collect()
     assert(result.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
   }
+
+  test("prefix-filtered containment join ≡ brute-force all-pairs " +
+      "(the filter loses nothing)") {
+    import graft.text.Dedup
+    val sh = graft.CacheScope.persist(
+      Dedup.shingles(Tables.load(spark, sf, "documents")))
+    val t = 0.9
+    val fast = Dedup.prefixContainmentPairs(sh, t)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("containment", col("n_common").cast("double") /
+        least(col("na"), col("nb")))
+      .filter(col("containment") >= t)
+      .select(col("da"), col("db"), col("n_common"),
+        round(col("containment"), 6).as("containment"))
+    assert(fast.except(brute).count() == 0)
+    assert(brute.except(fast).count() == 0)
+    assert(fast.count() > 0, "fixture produced no containment pairs")
+  }
 }
