@@ -347,6 +347,146 @@ object SimilarityQueries {
         FROM adc)
       WHERE rank <= 10"""))
 
+  /** One trained-codebook Lloyd assignment round in oracle SQL: per
+    * (vector, subspace) nearest centroid from `cSrc`, ties on cid. */
+  private def pqAssign(cSrc: String): String = s"""
+      (SELECT vec_id, s, cid FROM (
+        SELECT sub.vec_id, sub.s, c.cid, row_number() OVER (
+            PARTITION BY sub.vec_id, sub.s ORDER BY
+              list_inner_product(sub.v, sub.v)
+                - 2 * list_inner_product(sub.v, c.cv)
+                + list_inner_product(c.cv, c.cv), c.cid) AS rn
+        FROM sub JOIN $cSrc c ON sub.s = c.s) WHERE rn = 1)"""
+
+  /** One per-subspace recenter round in oracle SQL: decimal-exact
+    * (subspace, cluster, dim) means re-assembled into centroid lists. */
+  private def pqRecenter(aSrc: String): String = s"""
+      (SELECT s, cid, list(m ORDER BY pos) AS cv FROM
+        (SELECT a.s, a.cid, pos,
+           CAST(sum(CAST(v[pos] AS DECIMAL(24,12))) AS DOUBLE) / count(*)
+             AS m
+         FROM $aSrc a JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s,
+           unnest(range(1, len(v) + 1)) AS u(pos)
+         GROUP BY a.s, a.cid, pos)
+       GROUP BY s, cid)"""
+
+  /** Recall floor for the trained IVF-PQ + rerank path. Measured on the
+    * fixture embeddings (near-random vectors — PQ's hard case, where
+    * neighbor gaps are small vs quantization noise): raw ADC ordering
+    * alone scores ~0.3–0.5, IVFADC+R with a 100-candidate shortlist
+    * scores 0.92–0.98 across sf0.01/sf0.1. 0.8 fails the gate on any
+    * real quality collapse while staying below fixture drift. */
+  private val pqRecallFloor = 0.8
+
+  /** ADC-quality gate for the TRAINED IVF-PQ path (k-means codebooks
+    * via `Kmeans.fitGrouped`, 2 Lloyd rounds; 16 subspaces × 4 dims;
+    * nProbe=4; exact rerank of the 100-candidate ADC shortlist):
+    * recall@10 against the exact squared-L2 top-10 — ADC approximates
+    * L2, so L2, not cosine, is the right ground truth. One row
+    * (n_true, n_hit, recall, recall_ok); the hashed `recall_ok`
+    * boolean FAILS the gate if ADC quality collapses, the
+    * `q_dedup_lsh_recall` pattern. */
+  private val pqRecall = Q("q_pq_recall",
+    (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val approx = graft.similarity.Pq.ivfPqRerankTopK(emb, s,
+        queryPred = col("vec_id") < 5, k = 10, shortlist = 100,
+        nProbe = 4, nSub = 16, subDim = 4, trainIters = 2)
+        .select(col("qid"), col("cid"))
+      val p = graft.CacheScope.persist(
+        emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")))
+      val q = p.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val byL2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(expr(
+          "dot_f64(qe, qe) - 2 * dot_f64(qe, e) + dot_f64(e, e)").asc,
+          col("vec_id").asc)
+      val truth = graft.CacheScope.persist(
+        p.crossJoin(broadcast(q))
+          .where(col("qid") =!= col("vec_id"))
+          .withColumn("rank", row_number().over(byL2))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id").as("cid")))
+      val hits = truth.join(approx, Seq("qid", "cid"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"),
+          (col("n_hit").cast("double") / col("n_true") >= pqRecallFloor)
+            .as("recall_ok"))
+    },
+    Some(s"""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      sub AS (SELECT vec_id, s, e[s*4+1 : s*4+4] AS v
+              FROM p, unnest(range(0, 16)) AS u(s)),
+      tcb0 AS (SELECT s, vec_id AS cid, v AS cv FROM sub WHERE vec_id < 16),
+      ta1 AS ${pqAssign("tcb0")},
+      tcb1 AS ${pqRecenter("ta1")},
+      ta2 AS ${pqAssign("tcb1")},
+      tcb2 AS ${pqRecenter("ta2")},
+      enc AS (SELECT vec_id, s, cid AS code FROM (
+          SELECT sub.vec_id, sub.s, c.cid, row_number() OVER (
+              PARTITION BY sub.vec_id, sub.s ORDER BY
+                list_inner_product(sub.v, sub.v)
+                  - 2 * list_inner_product(sub.v, c.cv)
+                  + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN tcb2 c ON sub.s = c.s) WHERE rn = 1),
+      coarse AS (SELECT vec_id AS ccid, e AS ce FROM p WHERE vec_id < 16),
+      cr AS (SELECT p.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY p.vec_id ORDER BY
+                 list_inner_product(p.e, p.e)
+                   - 2 * list_inner_product(p.e, c.ce)
+                   + list_inner_product(c.ce, c.ce), c.ccid) AS rn
+             FROM p, coarse c),
+      lists AS (SELECT vec_id, ccid FROM cr WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, ccid FROM cr
+                 WHERE rn <= 4 AND vec_id < 5),
+      cand AS (SELECT pr.qid, l.vec_id AS cid
+               FROM probes pr JOIN lists l USING (ccid)
+               WHERE pr.qid <> l.vec_id),
+      lut AS (SELECT q.vec_id AS qid, q.s, c.cid AS code,
+          CAST(list_inner_product(q.v, q.v)
+            - 2 * list_inner_product(q.v, c.cv)
+            + list_inner_product(c.cv, c.cv) AS DECIMAL(24,12)) AS d
+        FROM sub q JOIN tcb2 c ON q.s = c.s WHERE q.vec_id < 5),
+      adc AS (SELECT cand.qid, cand.cid, CAST(sum(lut.d) AS DOUBLE) AS adc
+              FROM cand
+                JOIN enc ON enc.vec_id = cand.cid
+                JOIN lut ON lut.qid = cand.qid AND lut.s = enc.s
+                  AND lut.code = enc.code
+              GROUP BY 1, 2),
+      shortl AS (SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY adc, cid) AS rank FROM adc)
+        WHERE rank <= 100),
+      approx AS (SELECT qid, cid FROM (
+          SELECT sl.qid, sl.cid, row_number() OVER (
+              PARTITION BY sl.qid ORDER BY
+                list_inner_product(q.e, q.e)
+                  - 2 * list_inner_product(q.e, c.e)
+                  + list_inner_product(c.e, c.e), sl.cid) AS rank
+          FROM shortl sl JOIN p q ON sl.qid = q.vec_id
+               JOIN p c ON sl.cid = c.vec_id)
+        WHERE rank <= 10),
+      truth AS (SELECT qid, cid FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS cid, row_number() OVER (
+              PARTITION BY q.vec_id ORDER BY
+                list_inner_product(q.e, q.e)
+                  - 2 * list_inner_product(q.e, c.e)
+                  + list_inner_product(c.e, c.e), c.vec_id) AS rank
+          FROM p c, p q WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 10),
+      nt AS (SELECT count(*) AS n_true FROM truth),
+      nh AS (SELECT count(*) AS n_hit FROM truth
+             JOIN approx USING (qid, cid))
+      SELECT n_true, n_hit,
+        round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+        CAST(n_hit AS DOUBLE) / n_true >= $pqRecallFloor AS recall_ok
+      FROM nt, nh"""))
+
   /** L2 normalization — the standard pre-step before cosine ANN /
     * semantic dedup: unit-norm check plus the first normalized
     * component. Pure narrow projection (the codegen `dot_f64` norm
@@ -372,5 +512,6 @@ object SimilarityQueries {
       FROM p"""))
 
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
-    hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf, embNormalize)
+    hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf, pqRecall,
+    embNormalize)
 }

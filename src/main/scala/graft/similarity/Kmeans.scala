@@ -67,4 +67,43 @@ object Kmeans {
     }
     cents
   }
+
+  /** Per-group Lloyd: an independent k-means per value of `g`, trained
+    * in ONE shared dataflow — each round is a single assignment shuffle
+    * plus a single recenter shuffle for ALL groups together. This is
+    * the PQ-subspace codebook trainer: running `nSub` separate [[fit]]s
+    * would scan the sub-vector corpus `nSub` times; keying every stage
+    * by the group column makes the pass count independent of `nSub`,
+    * which is what survives 100 TB. Input `(g, vec_id, v)`; each
+    * group's seeds are its `vec_id < k` rows; returns `(g, cid, cv)`.
+    * Same determinism contract as [[fit]] (decimal-exact means, fixed
+    * iterations, centroid-id tiebreaks), so the oracle gate can walk
+    * the identical trajectory. */
+  def fitGrouped(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, "k-means needs k > 0 and iters > 0")
+    graft.functions.VectorExpressions.register(sub.sparkSession)
+    val p = CacheScope.persist(sub.select(col("g"), col("vec_id"),
+      col("v").cast("array<double>").as("v")))
+    var cents = p.where(col("vec_id") < k)
+      .select(col("g"), col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val byDist = Window.partitionBy(col("g"), col("vec_id"))
+        .orderBy(l2sq("v", "cv").asc, col("cid").asc)
+      val asg = p.join(broadcast(cents), "g")
+        .withColumn("__rn", row_number().over(byDist))
+        .where(col("__rn") === 1)
+        .select(col("g"), col("cid"), col("v"))
+      cents = CacheScope.persist(
+        asg.select(col("g"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("g"), col("cid"), col("pos"))
+          .agg((sum(col("x").cast("decimal(24,12)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy(col("g"), col("cid"))
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
+            .as("cv")))
+      cents.count() // materialize inside the loop: bounded lineage per round
+    }
+    cents
+  }
 }

@@ -18,11 +18,13 @@ import graft.CacheScope
   * [[ivfAdcTopK]] is the full composition: a coarse inverted index
   * restricts the scan to probed lists, ADC ranks the survivors.
   *
-  * Codebook: the sub-vectors of the first `nCentroids` corpus vectors —
-  * a deterministic seeding (same spirit as `Knn.ivfTopK`'s centroid
-  * choice) standing in for k-means; `Kmeans.fit` is the trainer a
-  * production build would plug in, and determinism is what the oracle
-  * gate needs.
+  * Codebook: with `trainIters` = 0 the sub-vectors of the first
+  * `nCentroids` corpus vectors (a deterministic seeding, the
+  * oracle-simplest fixture); with `trainIters` > 0 a real k-means
+  * codebook per subspace via [[Kmeans.fitGrouped]] — still fully
+  * deterministic (fixed seeds/iterations/tiebreaks), so the trained
+  * path is oracle-checkable too, and `q_pq_recall` bounds its ADC
+  * quality against the exact-L2 baseline.
   *
   * Scale posture: the codebook, coarse centroids, and every per-query
   * LUT are KBs — broadcast; encode is corpus × broadcast(codebook) with
@@ -54,6 +56,27 @@ object Pq {
   private def codebook(sub: DataFrame, nCentroids: Int): DataFrame =
     sub.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("s"), col("v").as("cv"))
+
+  /** K-means-TRAINED per-subspace codebook: [[Kmeans.fitGrouped]] over
+    * the sub-vector slices keyed by subspace (every subspace trains in
+    * the same two shuffles per round), replacing the first-N seeding —
+    * this is what ADC quality on real data depends on. Deterministic
+    * (seeds, iteration count, tiebreaks all fixed), so the oracle can
+    * replay the identical centroid trajectory. */
+  private def trainedCodebook(sub: DataFrame, nCentroids: Int,
+      iters: Int): DataFrame =
+    CacheScope.persist(
+      Kmeans.fitGrouped(
+          sub.select(col("s").as("g"), col("vec_id"), col("v")),
+          nCentroids, iters)
+        .select(col("cid"), col("g").as("s"), col("cv")))
+
+  /** First-N seed codebook when `trainIters` = 0 (the oracle-simplest
+    * fixture), k-means-trained codebook otherwise. */
+  private def codebookOf(sub: DataFrame, nCentroids: Int,
+      trainIters: Int): DataFrame =
+    if (trainIters > 0) trainedCodebook(sub, nCentroids, trainIters)
+    else codebook(sub, nCentroids)
 
   /** Per-(vector, subspace) nearest-centroid codes: (vec_id, s, code). */
   private def codesOf(sub: DataFrame, cb: DataFrame): DataFrame = {
@@ -104,10 +127,11 @@ object Pq {
     * (`queryPred` over vec_id), ranked per query over the WHOLE corpus.
     * Returns (qid, cid, rank, adc_r), distance rounded to 6 dp. */
   def adcTopK(emb: DataFrame, spark: SparkSession, queryPred: Column, k: Int,
-      nCentroids: Int = 16, nSub: Int = 8, subDim: Int = 8): DataFrame = {
+      nCentroids: Int = 16, nSub: Int = 8, subDim: Int = 8,
+      trainIters: Int = 0): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val sub = CacheScope.persist(subVectors(emb, nSub, subDim))
-    val cb = codebook(sub, nCentroids)
+    val cb = codebookOf(sub, nCentroids, trainIters)
     rankByAdc(
       codesOf(sub, cb)
         .join(broadcast(lutOf(sub, cb, queryPred)), Seq("s", "code"))
@@ -121,7 +145,7 @@ object Pq {
     * nProbe/nCoarse of it, and everything broadcast stays KB-sized. */
   def ivfAdcTopK(emb: DataFrame, spark: SparkSession, queryPred: Column,
       k: Int, nCoarse: Int = 16, nProbe: Int = 2, nCentroids: Int = 16,
-      nSub: Int = 8, subDim: Int = 8): DataFrame = {
+      nSub: Int = 8, subDim: Int = 8, trainIters: Int = 0): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val p = CacheScope.persist(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
@@ -139,9 +163,38 @@ object Pq {
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"))
     val sub = CacheScope.persist(subVectors(emb, nSub, subDim))
-    val cb = codebook(sub, nCentroids)
+    val cb = codebookOf(sub, nCentroids, trainIters)
     rankByAdc(
       cand.join(codesOf(sub, cb), "vec_id")
         .join(broadcast(lutOf(sub, cb, queryPred)), Seq("qid", "s", "code")), k)
+  }
+
+  /** IVFADC+R (Jégou et al. §V): IVF-PQ retrieves an ADC-ranked
+    * SHORTLIST of `shortlist` candidates per query, then the shortlist
+    * — and only the shortlist — is re-ranked by the exact full-vector
+    * L2. On data whose neighbor gaps are small relative to the
+    * quantization noise (the hard case), raw ADC ordering is weak but
+    * the true neighbors still land in a modest shortlist, so the
+    * rerank recovers most of the recall at per-query-constant extra
+    * cost: `shortlist` exact distances per query, independent of
+    * corpus size — the composition every production PQ deployment
+    * ships. Returns (qid, cid, rank, l2_r). */
+  def ivfPqRerankTopK(emb: DataFrame, spark: SparkSession,
+      queryPred: Column, k: Int, shortlist: Int = 100, nCoarse: Int = 16,
+      nProbe: Int = 4, nCentroids: Int = 16, nSub: Int = 16,
+      subDim: Int = 4, trainIters: Int = 2): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val sl = ivfAdcTopK(emb, spark, queryPred, shortlist, nCoarse, nProbe,
+      nCentroids, nSub, subDim, trainIters).select(col("qid"), col("cid"))
+    val p = CacheScope.persist(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    val byL2 = Window.partitionBy(col("qid"))
+      .orderBy(l2sq("qe", "ce").asc, col("cid").asc)
+    sl.join(p.select(col("vec_id").as("qid"), col("e").as("qe")), "qid")
+      .join(p.select(col("vec_id").as("cid"), col("e").as("ce")), "cid")
+      .withColumn("rank", row_number().over(byL2).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"),
+        round(l2sq("qe", "ce"), 6).as("l2_r"))
   }
 }
