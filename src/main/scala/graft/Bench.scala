@@ -30,6 +30,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Streaming queries pay a first-run cost that is pure warm-up —
+    // micro-batch engine classloading, state-store provider init,
+    // RocksDB JNI — which made their cold reps bimodal (r6 artifact:
+    // per-rep max 3-5x the median; every other family sits inside
+    // ±15%). One untimed pass over the q_stream_* family pins all
+    // TIMED reps to warm-path behavior; failures surface in the timed
+    // reps, so they're ignored here.
+    names.filter(_._1.startsWith("q_stream_")).foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     // name -> (per-rep seconds for successful reps, first error if any)
     val runs: Seq[(String, Seq[Double], Option[String])] = {
       val raw = (1 to reps).map { _ =>
