@@ -21,8 +21,9 @@ object SparkEntry {
     Registry.all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (nested output, streaming) → driver records a rows-only check. */
+    * the same parquet tables. Every registered query has one: nested
+    * and streaming outputs are materialized and flattened/reduced to a
+    * hashable projection inside the query itself. */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

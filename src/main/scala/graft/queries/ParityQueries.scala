@@ -680,22 +680,20 @@ object ParityQueries {
     * `FULL:659-696`): struct build, array-of-struct questionnaire,
     * conditional struct nullification — then field extraction so the
     * oracle can check the values. */
-  private val docFlat = Q("q_doc_assembly_flat",
-    (s, dir) => {
-      val doc = Documents.prospectDocument(docInput(s, dir))
-      doc.select(
-        col("leadid"),
-        col("administration.channel").as("admin_channel"),
-        col("administration.createdDate").as("created_date"),
-        col("customerDetails.segment").as("cust_segment"),
-        col("purchaseDetails.totalPrice").as("total_price"),
-        col("enrollmentDetails.interests").getItem(0).getField("questionId")
-          .as("q0_id"),
-        col("enrollmentDetails.interests").getItem(1).getField("response")
-          .getItem(1).as("q1_resp2"),
-        col("enrollmentDetails").isNull.as("enrollment_null"))
-    },
-    Some("""
+  /** The q_doc_assembly_flat projection: nested document → scalars. */
+  private def flattenProspectDoc(doc: DataFrame): DataFrame = doc.select(
+    col("leadid"),
+    col("administration.channel").as("admin_channel"),
+    col("administration.createdDate").as("created_date"),
+    col("customerDetails.segment").as("cust_segment"),
+    col("purchaseDetails.totalPrice").as("total_price"),
+    col("enrollmentDetails.interests").getItem(0).getField("questionId")
+      .as("q0_id"),
+    col("enrollmentDetails.interests").getItem(1).getField("response")
+      .getItem(1).as("q1_resp2"),
+    col("enrollmentDetails").isNull.as("enrollment_null"))
+
+  private val docFlatSql = """
       SELECT CAST(o_orderkey AS VARCHAR) AS leadid,
         CASE o_orderpriority WHEN '1-URGENT' THEN 'DIRECT'
           WHEN '2-HIGH' THEN 'DEALER' WHEN '3-MEDIUM' THEN 'WEB'
@@ -707,7 +705,11 @@ object ParityQueries {
         CASE WHEN o_orderstatus = 'O' THEN NULL
              ELSE coalesce(o_orderstatus, '') END AS q1_resp2,
         (o_orderstatus = 'O') AS enrollment_null
-      FROM orders LEFT JOIN customer ON o_custkey = c_custkey"""))
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey"""
+
+  private val docFlat = Q("q_doc_assembly_flat",
+    (s, dir) => flattenProspectDoc(Documents.prospectDocument(docInput(s, dir))),
+    Some(docFlatSql))
 
   private def docInput(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -719,12 +721,21 @@ object ParityQueries {
       .withColumn("created_date", Scalars.ddMMyyyy(col("o_orderdate")))
   }
 
-  /** Full nested document (rows-only check — nested output is not
-    * hash-comparable through the flat oracle path). This is what the
-    * outbound job writes to the document store (`PUSH:349-350`). */
+  /** Full nested document, MATERIALIZED and hash-checked: build the
+    * document (`PUSH:349-350`), WRITE the nested parquet, read it back,
+    * and flatten the round-tripped bytes to the q_doc_assembly_flat
+    * projection. The parquet stage pins the nested representation — the
+    * optimizer cannot collapse struct-build-then-extract across a write
+    * — so the gate now hashes the ACTUAL nested output (values, null
+    * structs, array order) instead of recording a rows-only pass. */
   private val docNested = Q("q_doc_assembly_nested",
-    (s, dir) => Documents.prospectDocument(docInput(s, dir)),
-    None)
+    (s, dir) => {
+      val work = "/root/repo/target/stage/q_doc_assembly_nested"
+      Documents.prospectDocument(docInput(s, dir))
+        .write.mode("overwrite").parquet(work)
+      flattenProspectDoc(s.read.parquet(work))
+    },
+    Some(docFlatSql))
 
   /** Array set-operation surface over real token arrays: distinct,
     * sort, intersect/union/except against a constant stopword set.

@@ -224,11 +224,20 @@ object PipelineQueries {
       FROM sess s JOIN decay d ON s.user_id = d.user_id
       LEFT JOIN an ON s.user_id = an.user_id"""))
 
-  /** Flagship pipeline over the query-arg scale factor (rows-only: output
-    * is deeply nested). */
+  /** Flagship pipeline, MATERIALIZED and hash-checked: run EP1, WRITE
+    * the nested document parquet, read it back, flatten the
+    * round-tripped bytes. The write pins the nested representation (no
+    * struct-build-then-extract collapse is possible across a parquet
+    * stage), so this row now hashes the pipeline's actual output
+    * instead of recording rows-only. */
   private val flagship = Q("q_flagship_pipeline",
-    (s, dir) => graft.Flagship.prospectPipeline(s, dir),
-    None)
+    (s, dir) => {
+      val work = "/root/repo/target/stage/q_flagship_pipeline"
+      graft.Flagship.prospectPipeline(s, dir)
+        .write.mode("overwrite").parquet(work)
+      flattenDoc(s.read.parquet(work))
+    },
+    Some(flagshipFlatSql("")))
 
   /** Flatten the flagship document to scalars: every struct field except
     * the non-deterministic audit.snapshotTs, plus the questionnaire
@@ -386,12 +395,19 @@ object PipelineQueries {
       "/root/repo/target/stage/q_outbound_flat").docs),
     Some(flagshipFlatSql("WHERE o_orderkey % 2 = 1")))
 
-  /** EP2 outbound push: delta-select + stage-out + validation (rows-only:
-    * nested docs; the validation report is asserted in tests). */
+  /** EP2 outbound push, MATERIALIZED and hash-checked: delta-select +
+    * stage-out, then the nested delta docs written to parquet, read
+    * back, and flattened against the odd-lead-key flagship twin (same
+    * oracle as q_outbound_flat; the write stage pins the nested
+    * representation). The validation report stays asserted in tests. */
   private val outbound = Q("q_outbound_push",
-    (s, dir) => graft.Outbound.push(s, dir,
-      "/root/repo/target/stage/q_outbound_push").docs,
-    None)
+    (s, dir) => {
+      val work = "/root/repo/target/stage/q_outbound_push"
+      graft.Outbound.push(s, dir, work).docs
+        .write.mode("overwrite").parquet(s"$work/docs_nested")
+      flattenDoc(s.read.parquet(s"$work/docs_nested"))
+    },
+    Some(flagshipFlatSql("WHERE o_orderkey % 2 = 1")))
 
   /** Frame sampling over binary payloads (video frame-sample analog):
     * fixed 64-byte frames, length + content hash per frame. md5 over

@@ -17,38 +17,24 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("oracle map covers every SQL-expressible query") {
+  test("oracle map covers EVERY query — zero no_oracle rows") {
     val names = Registry.all.map(_.name).toSet
     assert(SparkEntry.queries.keySet == names)
-    val noOracle = names -- SparkEntry.oracleSql.keySet
-    // only nested-output queries may omit the oracle (each is pinned to an
-    // oracle-checked flat twin: q_flagship_flat / q_outbound_flat / the
-    // flatten-equality test below)
-    assert(noOracle.subsetOf(Set("q_doc_assembly_nested", "q_flagship_pipeline",
-      "q_outbound_push")))
+    // nested-output queries materialize the nested parquet and register
+    // the flattened round-trip, so nothing is rows-only any more
+    assert((names -- SparkEntry.oracleSql.keySet).isEmpty)
   }
 
-  test("nested doc assembly flattens to exactly the flat twin") {
-    import org.apache.spark.sql.functions.col
-    val nested = SparkEntry.queries("q_doc_assembly_nested")(spark, sf)
-    // independent flattening of the registered nested output — a drift in
-    // either registration (input frame, struct layout, null gating) breaks
-    // the row-for-row equality with the oracle-checked flat query
-    val reFlattened = nested.select(
-      col("leadid"),
-      col("administration.channel").as("admin_channel"),
-      col("administration.createdDate").as("created_date"),
-      col("customerDetails.segment").as("cust_segment"),
-      col("purchaseDetails.totalPrice").as("total_price"),
-      col("enrollmentDetails.interests").getItem(0).getField("questionId")
-        .as("q0_id"),
-      col("enrollmentDetails.interests").getItem(1).getField("response")
-        .getItem(1).as("q1_resp2"),
-      col("enrollmentDetails").isNull.as("enrollment_null"))
+  test("materialized nested doc round-trip equals the in-plan flat twin") {
+    // q_doc_assembly_nested now writes the nested parquet and flattens
+    // the round-tripped bytes; a drift anywhere (input frame, struct
+    // layout, null gating, parquet round-trip) breaks row-for-row
+    // equality with the never-written flat projection
+    val roundTripped = SparkEntry.queries("q_doc_assembly_nested")(spark, sf)
     val flat = SparkEntry.queries("q_doc_assembly_flat")(spark, sf)
-    assert(reFlattened.count() == flat.count())
-    assert(reFlattened.exceptAll(flat).isEmpty, "nested ⊄ flat")
-    assert(flat.exceptAll(reFlattened).isEmpty, "flat ⊄ nested")
+    assert(roundTripped.count() == flat.count())
+    assert(roundTripped.exceptAll(flat).isEmpty, "round-trip ⊄ flat")
+    assert(flat.exceptAll(roundTripped).isEmpty, "flat ⊄ round-trip")
   }
 
   test("entry returns rows (driver t1 smoke)") {
