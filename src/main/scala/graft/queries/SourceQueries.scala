@@ -49,6 +49,49 @@ object SourceQueries {
     },
     Some("SELECT event_id, event_type, value FROM events"))
 
+  /** S7 (pagination tail): the reference's REST pagination loop
+    * (`FULL:159-183`) — a first payload yields the page cursors
+    * (distinct non-null stateCd analog), the driver loops the cursors
+    * fetching one JSON page each, VALIDATES that the page echoes its
+    * own cursor (`FULL:171-180`: a page answering for the wrong cursor
+    * is dropped with a log line, not unioned), and concatenates the
+    * surviving pages into one frame. Modeled with `customer` as the
+    * remote API: page k = nation k's customers as a JSON-lines payload
+    * carrying the echoed cursor; page 3 deliberately echoes -1 to
+    * exercise the drop leg. Driver-side work is CURSOR-count bounded
+    * (25 pages), never row-count bounded — the per-page validation
+    * reads one row (`data[0]`, as the reference does) and the union is
+    * lazy, so one distributed job scans all surviving pages. */
+  private val jsonPaged = Q("q_s7_json_paged",
+    (s, dir) => {
+      val base = "/root/repo/target/stage/q_s7_json_paged"
+      val cust = Tables.load(s, dir, "customer")
+      val cursors = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey")).where(col("n_nationkey").isNotNull)
+        .distinct().collect()
+        .map(_.getAs[Number]("n_nationkey").longValue).sorted
+      cursors.foreach { k =>
+        val echo = if (k == 3L) -1L else k // the page that lies
+        cust.where(col("c_nationkey") === k)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit(echo).as("page_cursor"))
+          .write.mode("overwrite").json(s"$base/page_$k")
+      }
+      val pageSchema =
+        "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, page_cursor LONG"
+      val valid = cursors.map { k =>
+        k -> s.read.schema(pageSchema).json(s"$base/page_$k")
+      }.filter { case (k, pg) =>
+        pg.select(col("page_cursor")).limit(1).collect()
+          .headOption.exists(_.getLong(0) == k)
+      }
+      valid.map(_._2).reduce(_ unionByName _)
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal,
+        CAST(c_nationkey AS BIGINT) AS page_cursor
+      FROM customer WHERE c_nationkey <> 3"""))
+
   /** S4 (staging form): CSV snapshot roundtrip — the BCP-style flat-file
     * staging leg (reference runbook `BCP:37-101`): dump to CSV with
     * header, re-ingest with schema inference, land as a snapshot. */
@@ -513,9 +556,9 @@ object SourceQueries {
       SELECT o_orderkey, op, o_orderstatus, o_totalprice
       FROM j WHERE op IS NOT NULL"""))
 
-  val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, csvSnapshot, jdbcSnapshot,
-    partSink, catalog, partitions, reconcile, bucketed, schemaMerge,
-    orcRoundtrip, jsonPath, compactSink, jsonCorrupt, prunedScan,
-    calendarDim, binaryIngest, fileProvenance, variantLift, pipeSyntax,
-    snapshotDiff)
+  val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, jsonPaged, csvSnapshot,
+    jdbcSnapshot, partSink, catalog, partitions, reconcile, bucketed,
+    schemaMerge, orcRoundtrip, jsonPath, compactSink, jsonCorrupt,
+    prunedScan, calendarDim, binaryIngest, fileProvenance, variantLift,
+    pipeSyntax, snapshotDiff)
 }
