@@ -770,7 +770,12 @@ object AnalyticsQueries {
       val st = ev.groupBy(col("event_type")).agg(
         avg(col("value")).as("mu"),
         stddev_samp(col("value")).as("sigma"))
-      val z = (col("value") - col("mu")) / col("sigma")
+      // σ guarded to NULL when zero: Spark's double x/0 is NULL while
+      // DuckDB's is ±inf, so an all-constant event_type would silently
+      // diverge between engines — pin both to NULL (no spread ⇒ no
+      // anomaly score), the row drops out of the > 2.5 filter
+      val z = (col("value") - col("mu")) /
+        when(col("sigma") =!= 0, col("sigma"))
       ev.join(broadcast(st), Seq("event_type"))
         .filter(abs(z) > 2.5)
         .select(col("event_id"), col("event_type"), col("value"),
@@ -781,9 +786,9 @@ object AnalyticsQueries {
           stddev_samp(value) AS sigma
         FROM events GROUP BY event_type)
       SELECT event_id, e.event_type, value,
-        round((value - mu) / sigma, 6) AS z
+        round((value - mu) / nullif(sigma, 0), 6) AS z
       FROM events e JOIN st USING (event_type)
-      WHERE abs((value - mu) / sigma) > 2.5"""))
+      WHERE abs((value - mu) / nullif(sigma, 0)) > 2.5"""))
 
   /** Winsorization: clip `value` to its event_type's exact [p05, p95]
     * band (R-7 interpolation in both engines). Same two-phase shape as
@@ -831,7 +836,12 @@ object AnalyticsQueries {
       ev.crossJoin(broadcast(maxE))
         .withColumn("age_days",
           expr("(max_us - unix_micros(ts)) DIV 86400000000"))
-        .withColumn("term", (round(col("value") * 100).cast("long") *
+        // cents enter the multiply ALREADY decimal(38,0): a LongType
+        // product wraps silently in non-ANSI Spark once cents × 2^40
+        // passes 2^63 (value > ~$84k at age 0), while the HUGEINT twin
+        // keeps going — the decimal carry makes both engines exact at
+        // any value magnitude the 38-digit budget holds (~1e26 dollars)
+        .withColumn("term", (round(col("value") * 100).cast("decimal(38,0)") *
           expr("shiftleft(1L, cast(40 - least(age_days, 40) as int))"))
           .cast("decimal(38,0)"))
         .groupBy(col("user_id"))
@@ -842,9 +852,10 @@ object AnalyticsQueries {
     Some("""
       WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
       t AS (SELECT user_id,
-          CAST(round(value * 100) AS BIGINT) *
-            (CAST(1 AS BIGINT) << CAST(40 - least(
-              (max_us - epoch_us(ts)) // 86400000000, 40) AS INT)) AS term
+          CAST(round(value * 100) AS HUGEINT) *
+            CAST(CAST(1 AS BIGINT) << CAST(40 - least(
+              (max_us - epoch_us(ts)) // 86400000000, 40) AS INT)
+              AS HUGEINT) AS term
         FROM events, m)
       SELECT user_id, count(*) AS n_events,
         round(CAST(sum(term) AS DOUBLE) / (100.0 * 1099511627776.0), 6)
@@ -930,10 +941,12 @@ object AnalyticsQueries {
         expr("percentile(value, 0.5)").as("med"),
         expr("percentile(value, 0.75) - percentile(value, 0.25)")
           .as("iqr"))
+      // IQR guarded to NULL when zero (see q_events_anomaly: Spark
+      // x/0 = NULL vs DuckDB ±inf — pin the no-spread case to NULL)
       ev.join(broadcast(st), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"),
-          round((col("value") - col("med")) / col("iqr"), 6)
-            .as("robust_z"))
+          round((col("value") - col("med")) /
+            when(col("iqr") =!= 0, col("iqr")), 6).as("robust_z"))
     },
     Some("""
       WITH st AS (SELECT event_type,
@@ -941,7 +954,7 @@ object AnalyticsQueries {
           quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
         FROM events GROUP BY event_type)
       SELECT event_id, e.event_type, value,
-        round((value - med) / iqr, 6) AS robust_z
+        round((value - med) / nullif(iqr, 0), 6) AS robust_z
       FROM events e JOIN st USING (event_type)"""))
 
   val all: Seq[Q] = Seq(sessionize, windowAnalytics, rollup, cube, pivot,

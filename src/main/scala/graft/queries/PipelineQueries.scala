@@ -161,7 +161,9 @@ object PipelineQueries {
       val decay = ev.crossJoin(broadcast(maxE))
         .withColumn("age_days",
           expr("(max_us - unix_micros(ts)) DIV 86400000000"))
-        .withColumn("term", (round(col("value") * 100).cast("long") *
+        // decimal(38,0) BEFORE the multiply: a LongType product wraps
+        // silently in non-ANSI Spark once cents × 2^40 passes 2^63
+        .withColumn("term", (round(col("value") * 100).cast("decimal(38,0)") *
           expr("shiftleft(1L, cast(40 - least(age_days, 40) as int))"))
           .cast("decimal(38,0)"))
         .groupBy(col("user_id"))
@@ -169,8 +171,12 @@ object PipelineQueries {
           (lit(100.0) * pow(lit(2.0), 40)), 6).as("decay_score"))
       val st = ev.groupBy(col("event_type")).agg(
         avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      // nullif-guarded σ: a constant-valued event_type divides by zero,
+      // where Spark yields NULL but DuckDB yields ±inf — pin both to
+      // NULL (anomaly score undefined when there is no spread)
       val anomalies = ev.join(broadcast(st), Seq("event_type"))
-        .filter(abs((col("value") - col("mu")) / col("sigma")) > 2.5)
+        .filter(abs((col("value") - col("mu")) /
+          when(col("sigma") =!= 0, col("sigma"))) > 2.5)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_anomalies"))
       sessions.join(decay, Seq("user_id"))
         .join(anomalies, Seq("user_id"), "left")
@@ -202,9 +208,10 @@ object PipelineQueries {
         FROM se GROUP BY user_id),
       m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
       dt AS (SELECT user_id,
-          CAST(round(value * 100) AS BIGINT) *
-            (CAST(1 AS BIGINT) << CAST(40 - least(
-              (max_us - epoch_us(ts)) // 86400000000, 40) AS INT)) AS term
+          CAST(round(value * 100) AS HUGEINT) *
+            CAST(CAST(1 AS BIGINT) << CAST(40 - least(
+              (max_us - epoch_us(ts)) // 86400000000, 40) AS INT)
+              AS HUGEINT) AS term
         FROM events, m),
       decay AS (
         SELECT user_id,
@@ -217,7 +224,7 @@ object PipelineQueries {
       an AS (
         SELECT user_id, count(*) AS n_anomalies
         FROM events e JOIN st USING (event_type)
-        WHERE abs((value - mu) / sigma) > 2.5
+        WHERE abs((value - mu) / nullif(sigma, 0)) > 2.5
         GROUP BY user_id)
       SELECT s.user_id, s.n_sessions, s.n_events, d.decay_score,
         coalesce(an.n_anomalies, 0) AS n_anomalies

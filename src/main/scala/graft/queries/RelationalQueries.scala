@@ -52,6 +52,7 @@ object RelationalQueries {
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderstatus") === "O")
         .select(col("o_custkey"))
+        .distinct() // shrink the probe side to |distinct keys| pre-shuffle
       val has = c.join(urgent, col("c_custkey") === col("o_custkey"),
         "left_semi").withColumn("has_urgent_open", lit(true))
       val not = c.join(urgent, col("c_custkey") === col("o_custkey"),
