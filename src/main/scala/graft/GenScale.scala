@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a measured-scaling decade from the largest
+  * driver-provided fixture (sf0.1 → `target/sf1x`, 10×) so the 100 TB
+  * posture can rest on a measured exponent instead of plan reading.
+  * The driver's generator is not available, so the scale-up derives
+  * from sf0.1 with per-copy transforms chosen to preserve each query
+  * family's work profile:
+  *
+  *  - FACTS (orders, lineitem, customer, events, documents,
+  *    embeddings) are unioned as `copies` key-shifted replicas: every
+  *    key column is offset by copy × K (K = the table's key range
+  *    rounded up to a power of 10), so join fan-outs, group
+  *    cardinalities, and session shapes scale linearly with no
+  *    cross-copy key collisions. Copy 0 is the verbatim original.
+  *  - DIMS (region, nation, supplier, part) stay FIXED — the flagship's
+  *    modulo decode joins (o_custkey % 150, o_orderkey % 2000) must
+  *    keep landing on real dim keys, and dims growing far slower than
+  *    facts is the realistic 100 TB shape anyway.
+  *  - DOCUMENT TEXT is deterministically rewritten per copy: each token
+  *    flips to a copy-tagged variant when xxhash64(token, copy) is odd
+  *    (≈ half the tokens). Within a copy, shared-token structure — and
+  *    therefore every within-copy near-dup pair — is preserved exactly
+  *    (the rewrite is a function of (token, copy) only); across copies
+  *    the trigram overlap collapses to ≈ (1/4)³ ≈ 2 %, far under every
+  *    similarity threshold, so pair counts scale linearly, while ≈ half
+  *    the vocabulary stays shared so document frequency keeps growing
+  *    with the corpus the way a real corpus's does.
+  *  - EMBEDDINGS are cyclically rotated by 7 × copy dimensions: norms
+  *    and all within-copy distances are preserved bit-exactly, while
+  *    cross-copy cosines decorrelate (no artificial cos≈1 pairs). The
+  *    fixed low-id query/centroid rows keep their copy-0 originals, so
+  *    kNN queries scan a 10× corpus — the scale-up shape that matters.
+  *
+  * Usage: `runMain graft.GenScale [srcDir] [outDir] [copies]`.
+  */
+object GenScale {
+
+  /** Key offset unit: the smallest power of 10 above the column max. */
+  private def unit(df: DataFrame, key: String): Long = {
+    val mx = df.agg(max(col(key))).head().getLong(0)
+    var k = 1L
+    while (k <= mx) k *= 10
+    k
+  }
+
+  private def scaled(df: DataFrame, copies: Int)(
+      perCopy: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until copies).map(i => perCopy(df, i)).reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/repo/target/sf1x")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local(GraftSession.envCpus)
+    def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def save(t: String)(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // dims: verbatim
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      save(t)(load(t))
+    }
+
+    val orders = load("orders")
+    val kOrd = unit(orders, "o_orderkey")
+    val kCust = unit(orders, "o_custkey")
+    save("orders")(scaled(orders, copies) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * kOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * kCust))
+    })
+
+    save("customer")(scaled(load("customer"), copies) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * kCust))
+    })
+
+    save("lineitem")(scaled(load("lineitem"), copies) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * kOrd))
+    })
+
+    val events = load("events")
+    val kEv = unit(events, "event_id")
+    save("events")(scaled(events, copies) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * kEv))
+        .withColumn("user_id", col("user_id") + lit(i * kCust))
+    })
+
+    val docs = load("documents")
+    val kDoc = unit(docs, "doc_id")
+    save("documents")(scaled(docs, copies) { (df, i) =>
+      val rewritten =
+        if (i == 0) col("text")
+        else expr(s"""array_join(transform(split(text, '\\\\s+'),
+          t -> CASE WHEN pmod(xxhash64(t, $i), 2) = 0 THEN t
+                    ELSE concat('v$i', t) END), ' ')""")
+      df.withColumn("doc_id", col("doc_id") + lit(i * kDoc))
+        .withColumn("text", rewritten)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+
+    val emb = load("embeddings")
+    val kVec = unit(emb, "vec_id")
+    save("embeddings")(scaled(emb, copies) { (df, i) =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else expr(s"transform(sequence(0, 63)," +
+          s" j -> embedding[pmod(j + ${7 * i}, 64)])")
+      df.withColumn("vec_id", col("vec_id") + lit(i * kVec))
+        .withColumn("embedding", rotated)
+    })
+
+    println(s"[genscale] wrote $copies-fold scale-up of $src to $out")
+    spark.stop()
+  }
+}

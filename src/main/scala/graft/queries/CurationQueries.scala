@@ -345,6 +345,56 @@ object CurationQueries {
                   THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
       FROM agg"""))
 
+  /** Bloom-sketch decontamination gate (bounds-check pattern, the
+    * q_sketch_mergeable rule): the exact broadcast-join profile and the
+    * Bloom broadcast-SKETCH profile run over the same split, and the
+    * hashed row pins (a) the exact contaminated count, (b) Bloom's
+    * no-false-negative guarantee holding per document (bloom flag ⊇
+    * exact flag), and (c) false-positive flags within a 2 % margin —
+    * generous: the 1 MB filter's per-n-gram fpp is ≪ 1 % at 10× the
+    * fixture's benchmark cardinality, and a clean doc must false-hit on
+    * 20 % of its n-grams to flip. The filter bytes themselves are not
+    * SQL-reproducible, so the oracle recomputes the exact side and pins
+    * the property booleans. */
+  private val decontaminateBloom = Q("q_decontaminate_bloom",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val exact = Decontaminate
+        .contamination(train, bench, n = 5, rateThreshold = 0.2)
+        .select(col("doc_id"), col("is_contaminated").as("exact_flag"))
+      val bloomed = Decontaminate
+        .contaminationBloom(train, bench, n = 5, rateThreshold = 0.2)
+        .select(col("doc_id"), col("is_contaminated").as("bloom_flag"))
+      exact.join(bloomed, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("exact_flag")).as("n_contaminated"),
+          min((col("bloom_flag") >= col("exact_flag")).cast("int"))
+            .as("__nfn"),
+          sum(col("bloom_flag")).as("__nb"))
+        .select(col("n_docs"), col("n_contaminated"),
+          (col("__nfn") === 1).as("no_false_negatives"),
+          ((col("__nb") - col("n_contaminated")).cast("double") /
+            col("n_docs") <= 0.02).as("fp_within_bound"))
+    },
+    Some(raw"""
+      WITH th AS (SELECT doc_id,
+          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS sh
+        FROM ${sh5Sql("documents", "source <> 'src0'")} t),
+      bh AS (SELECT DISTINCT
+          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS sh
+        FROM ${sh5Sql("documents", "source = 'src0'")} b),
+      agg AS (SELECT th.doc_id, count(*) AS n_ngrams,
+          sum(CASE WHEN bh.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM th LEFT JOIN bh USING (sh) GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN CAST(n_hits AS DOUBLE) / n_ngrams >= 0.2
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        true AS no_false_negatives,
+        true AS fp_within_bound
+      FROM agg"""))
+
   /** Shared oracle for both packing forms — exact window cumsum and the
     * scalable two-level offsets must produce identical output. */
   private val packSql = raw"""
@@ -639,7 +689,7 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
-    curationPipeline, decontaminate, pack, packScalable, packManifest,
-    runCollapse, pretrainPipeline, pagerank, sourceCap, profileTable,
-    triangles, rankScale)
+    curationPipeline, decontaminate, decontaminateBloom, pack,
+    packScalable, packManifest, runCollapse, pretrainPipeline, pagerank,
+    sourceCap, profileTable, triangles, rankScale)
 }

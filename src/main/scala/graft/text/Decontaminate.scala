@@ -51,6 +51,45 @@ object Decontaminate {
         (col("contamination_rate") >= rateThreshold).cast("long"))
   }
 
+  /** Bloom-sketch contamination profile — the 100 TB form of
+    * [[contamination]]: the benchmark's distinct n-gram hashes compact
+    * into ONE Bloom filter value (Spark's own BloomFilterAggregate,
+    * the runtime-filter machinery), whose bytes broadcast to every
+    * executor; the training corpus probes it per n-gram with
+    * might_contain. The benchmark relation is never joined at probe
+    * time — at 100 TB the probe side ships a megabyte of filter
+    * instead of shuffling the corpus. Bloom guarantees NO FALSE
+    * NEGATIVES, so every truly contaminated n-gram is counted;
+    * false positives can only inflate `n_hits` (rate fpp set by
+    * `numBits` vs the benchmark's cardinality). */
+  def contaminationBloom(train: DataFrame, bench: DataFrame, n: Int = 5,
+      rateThreshold: Double = 0.2, estimatedItems: Long = 1000000L,
+      numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.BloomFunctions.register(train.sparkSession)
+    // might_contain requires its filter side to be a constant or a
+    // scalar subquery (the same contract the optimizer's own runtime
+    // filters satisfy) — so the built filter lands in a temp view and
+    // the probe references it as a scalar subquery, which Spark
+    // evaluates once and ships to every task like a broadcast value
+    Dedup.ngrams(bench, n)
+      .select(Scalars.md5Long60(col("s")).as("sh"))
+      .distinct()
+      .agg(expr(s"graft_bloom_agg(sh, ${estimatedItems}L, ${numBits}L)")
+        .as("bf"))
+      .createOrReplaceTempView("graft_bloom_bf")
+    Dedup.ngrams(train, n)
+      .select(col("doc_id"), Scalars.md5Long60(col("s")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(expr("if(graft_bloom_might_contain(" +
+          "(SELECT bf FROM graft_bloom_bf), sh), 1L, 0L)"))
+          .as("n_hits"))
+      .withColumn("contamination_rate",
+        col("n_hits").cast("double") / col("n_ngrams"))
+      .withColumn("is_contaminated",
+        (col("contamination_rate") >= rateThreshold).cast("long"))
+  }
+
   /** The removal composition: `train` minus every document whose
     * contamination rate reaches `rateThreshold` — a broadcast-probe
     * profile followed by one anti join on doc_id. */
