@@ -74,9 +74,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = runs.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
     val nErrors = runs.count { case (_, ts, _) => ts.isEmpty }
+    // full_artifact points the driver's (line-truncating) capture at the
+    // complete on-disk copy, so the round artifact is self-contained
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":$qs,"errors":$errs,"n_errors":$nErrors,"sf":"$sfDir"}"""
+      s""""queries":$qs,"errors":$errs,"n_errors":$nErrors,"sf":"$sfDir",""" +
+      s""""full_artifact":"target/bench.json"}"""
     // complete artifact, immune to line truncation: medians + every rep
     val perRep = runs.map { case (k, ts, _) =>
       Verify.jsonString(k) + ":" + ts.mkString("[", ",", "]")
