@@ -345,6 +345,29 @@ object CurationQueries {
                   THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
       FROM agg"""))
 
+  /** Token-budget mixture selection: training mixes are specified in
+    * TOKENS per source, not document counts — keep each source's
+    * highest-quality docs (the oracle-proven q_text_quality score)
+    * until its inclusive token cumsum passes the budget. */
+  private val tokenBudget = Q("q_mix_token_budget",
+    (s, dir) => Curation.tokenBudgetMix(
+      Tables.load(s, dir, "documents"), qualityCol, budgetTokens = 1500L),
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, source,
+          string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      q AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+          $qualitySqlExpr AS q
+        FROM toks),
+      c AS (SELECT doc_id, source, n_tokens, q,
+          CAST(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY q DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM q)
+      SELECT doc_id, source, n_tokens, cum_tokens, round(q, 6) AS q_r
+      FROM c WHERE cum_tokens <= 1500"""))
+
   /** Bloom-sketch decontamination gate (bounds-check pattern, the
     * q_sketch_mergeable rule): the exact broadcast-join profile and the
     * Bloom broadcast-SKETCH profile run over the same split, and the
@@ -691,5 +714,5 @@ object CurationQueries {
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, decontaminateBloom, pack,
     packScalable, packManifest, runCollapse, pretrainPipeline, pagerank,
-    sourceCap, profileTable, triangles, rankScale)
+    sourceCap, profileTable, triangles, rankScale, tokenBudget)
 }

@@ -484,7 +484,11 @@ object SimilarityQueries {
              JOIN approx USING (qid, cid))
       SELECT n_true, n_hit,
         round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
-        CAST(n_hit AS DOUBLE) / n_true >= $pqRecallFloor AS recall_ok
+        -- literal TRUE, not recomputed: if the trained pipeline's
+        -- recall drops below the floor, Spark emits false and the row
+        -- hash-MISMATCHES — recomputing the boolean here would make
+        -- both engines agree on the failure and never fire the gate
+        true AS recall_ok
       FROM nt, nh"""))
 
   /** L2 normalization — the standard pre-step before cosine ANN /

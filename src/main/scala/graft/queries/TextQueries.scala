@@ -283,6 +283,10 @@ object TextQueries {
           c.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
         .withColumn("recall", col("n_hit") / col("n_true"))
+        // floor gate: measured 1.0 at sf0.001/0.01/0.1; the oracle pins
+        // the boolean to literal TRUE so a banding-quality collapse
+        // hash-mismatches instead of both engines agreeing on false
+        .withColumn("recall_ok", col("n_hit") / col("n_true") >= 0.9)
     },
     Some(minhashSigCte + raw""",
       bands AS (SELECT doc_id, b AS band_idx, $bandValSql AS band_val
@@ -307,7 +311,8 @@ object TextQueries {
              (SELECT count(*) FROM cand) AS n_candidates,
              (SELECT count(*) FROM hit) AS n_hit,
              CAST((SELECT count(*) FROM hit) AS BIGINT)
-               / CAST((SELECT count(*) FROM truth) AS BIGINT) AS recall"""))
+               / CAST((SELECT count(*) FROM truth) AS BIGINT) AS recall,
+             true AS recall_ok"""))
 
   /** Corpus vocabulary statistics: document frequency + total term
     * frequency per token — the substrate for TF-IDF filtering and
@@ -614,8 +619,38 @@ object TextQueries {
       JOIN sizes sb ON db = sb.doc_id
       WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.9"""))
 
+  /** Sub-document exact dedup signal (the ExactSubstr shape): every
+    * 8-token gram occurring in more than one document marks its token
+    * positions as duplicated; per doc, the covered count/fraction and
+    * a mostly-dup flag. */
+  private val substring = Q("q_dedup_substring",
+    (s, dir) => Dedup.repeatedSpanProfile(
+      Tables.load(s, dir, "documents"), k = 8),
+    Some(raw"""
+      WITH tk AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      tok AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM tk),
+      g AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+            FROM tok, unnest(CASE WHEN len(t) >= 8
+                                  THEN range(0, len(t) - 7)
+                                  ELSE [] END) AS u(i)),
+      d AS (SELECT g FROM g GROUP BY g
+            HAVING count(DISTINCT doc_id) > 1),
+      cov AS (SELECT DISTINCT doc_id, pos + j AS tp
+              FROM g JOIN d USING (g), unnest(range(0, 8)) AS v(j)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep
+              FROM cov GROUP BY doc_id)
+      SELECT tok.doc_id, n_tokens,
+        coalesce(n_rep, 0) AS n_rep_tokens,
+        round(CAST(coalesce(n_rep, 0) AS DOUBLE) / n_tokens, 6)
+          AS rep_frac,
+        CAST(coalesce(n_rep, 0) AS DOUBLE) >= 0.5 * n_tokens
+          AS mostly_dup
+      FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
     lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi,
-    prefixJaccard, corpusDrift, containment, containmentExact)
+    prefixJaccard, corpusDrift, containment, containmentExact, substring)
 }

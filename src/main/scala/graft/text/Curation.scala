@@ -42,6 +42,30 @@ object Curation {
       .filter(col("rn") <= cap)
   }
 
+  /** Token-budget mixture selection: within each source, keep the
+    * highest-quality documents until the source's TOKEN budget is
+    * exhausted — training mixes are specified in tokens, not document
+    * counts, so the cutoff must run on a token cumsum. Deterministic
+    * order: quality desc, doc_id asc; a document is kept iff its
+    * inclusive cumulative token count fits the budget. One window per
+    * source partition — key-partitioned, no global sort, and at 100 TB
+    * the per-source cumsum is exactly the shape the shuffle already
+    * pays for. */
+  def tokenBudgetMix(docs: DataFrame, quality: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "tokenBudgetMix needs a positive budget")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"),
+        quality.as("q"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), round(col("q"), 6).as("q_r"))
+  }
+
   /** Boilerplate scoring (CCNet/RefinedWeb-style): the fraction of a
     * document's distinct word 3-shingles that are corpus-frequent
     * (doc-frequency ≥ `dfCap`). High fractions mark template/boilerplate

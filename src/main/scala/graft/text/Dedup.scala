@@ -218,6 +218,50 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Cross-document repeated-SPAN profile — the sub-document exact
+    * dedup signal (the ExactSubstr idea: dedup repeated token spans,
+    * not just whole documents, because boilerplate and quotations
+    * recur inside otherwise-unique text). Every k-token gram occurring
+    * in MORE THAN ONE document marks its k token positions as
+    * duplicated; per document the output reports how many of its
+    * tokens sit inside at least one such cross-document span and the
+    * covered fraction — the trim/cut signal for mostly-copied text.
+    *
+    * Dataflow: positional k-grams (narrow per-row expression), one
+    * groupBy on the gram for cross-doc frequency, a semi join back,
+    * and a positional explode bounded by k × duplicated occurrences,
+    * then one per-doc count — no all-pairs stage, no window over the
+    * corpus; at 100 TB every stage is key-partitioned and linear. */
+  def repeatedSpanProfile(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = graft.CacheScope.persist(
+      docs.select(col("doc_id"), TextAnalysis.tokens.as("t"))
+        .select(col("doc_id"), col("t"),
+          size(col("t")).cast("long").as("n_tokens")))
+    val grams = graft.CacheScope.persist(
+      toks.select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(t) >= $k THEN
+                transform(sequence(0, size(t) - $k),
+                  i -> array_join(slice(t, i + 1, $k), ' '))
+              ELSE array() END""")).as(Seq("pos", "g"))))
+    val crossDoc = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("g"))
+    val covered = grams.join(crossDoc, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_tokens"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_tokens"), lit(0L)).as("n_rep_tokens"),
+        round(coalesce(col("n_rep_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("rep_frac"),
+        (coalesce(col("n_rep_tokens"), lit(0L)).cast("double") >=
+          lit(0.5) * col("n_tokens")).as("mostly_dup"))
+  }
+
   /** Incremental corpus update: dedup a NEW batch against the existing
     * corpus without re-fingerprinting the corpus' documents pairwise —
     * the daily-ingest shape. Within-batch dupes collapse to the min
