@@ -213,4 +213,40 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("NestedLoop"), p.take(1200))
   }
+
+  test("exact containment join is all equi-joins, never all-pairs") {
+    val p = planOf("q_dedup_containment_exact")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("NestedLoop"), p.take(1200))
+  }
+
+  test("bloom decontamination probes a broadcast sketch: no join with the benchmark relation") {
+    val p = planOf("q_decontaminate_bloom")
+    // the bloom PROBE aggregate must not join the benchmark n-gram
+    // relation; the only joins are the exact twin's broadcast probe
+    // and the final doc_id zip of the two profiles
+    assert(p.contains("might_contain"), p.take(1500))
+    assert(p.contains("Subquery"), p.take(1500))
+  }
+
+  test("repeated-span profile is bucketed gram work, never all-pairs") {
+    val p = planOf("q_dedup_substring")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("NestedLoop"), p.take(1200))
+  }
+
+  test("token-budget mix shuffles once, on the source key") {
+    val p = planOf("q_mix_token_budget")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 source-key exchange, plan:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(source"), p.take(1500))
+  }
+
+  test("trained IVF-PQ rerank keeps every centroid/LUT frame broadcast") {
+    val p = planOf("q_pq_recall")
+    // no unbroadcast cartesian anywhere; the only BNLJs are the
+    // sanctioned broadcast crossJoins (5-row query frame, 1-row counts)
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
