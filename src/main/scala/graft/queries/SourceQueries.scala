@@ -70,21 +70,33 @@ object SourceQueries {
         .select(col("n_nationkey")).where(col("n_nationkey").isNotNull)
         .distinct().collect()
         .map(_.getAs[Number]("n_nationkey").longValue).sorted
-      cursors.foreach { k =>
-        val echo = if (k == 3L) -1L else k // the page that lies
-        cust.where(col("c_nationkey") === k)
-          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-            lit(echo).as("page_cursor"))
-          .write.mode("overwrite").json(s"$base/page_$k")
-      }
+      // fixture scaffolding, not the modeled behavior: the per-cursor
+      // JSON payloads land in ONE partitioned write (page=<cursor>
+      // dirs) instead of |cursors| separate jobs — what's modeled is
+      // the DRIVER loop below: per-page fetch, data[0] echo check,
+      // drop-on-mismatch, lazy union
+      cust.filter(col("c_nationkey").isin(cursors.map(Long.box): _*))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          when(col("c_nationkey") === 3L, lit(-1L)) // the page that lies
+            .otherwise(col("c_nationkey").cast("long")).as("page_cursor"),
+          col("c_nationkey").cast("long").as("page"))
+        .write.mode("overwrite").partitionBy("page").json(s"$base/pages")
       val pageSchema =
         "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, page_cursor LONG"
-      val valid = cursors.map { k =>
-        k -> s.read.schema(pageSchema).json(s"$base/page_$k")
-      }.filter { case (k, pg) =>
-        pg.select(col("page_cursor")).limit(1).collect()
-          .headOption.exists(_.getLong(0) == k)
-      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val valid = cursors
+        // a cursor with no rows produced no page at all — the failed
+        // fetch, dropped exactly like a wrong-echo page (FULL:171-180's
+        // try/except leg)
+        .filter(k => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$base/pages/page=$k")))
+        .map { k =>
+          k -> s.read.schema(pageSchema).json(s"$base/pages/page=$k")
+        }.filter { case (k, pg) =>
+          pg.select(col("page_cursor")).limit(1).collect()
+            .headOption.exists(_.getLong(0) == k)
+        }
       valid.map(_._2).reduce(_ unionByName _)
     },
     Some("""
