@@ -368,6 +368,31 @@ object CurationQueries {
       SELECT doc_id, source, n_tokens, cum_tokens, round(q, 6) AS q_r
       FROM c WHERE cum_tokens <= 1500"""))
 
+  /** Derandomized weighted reservoir sample (A-ES): top-20 per source
+    * by ln(hash-uniform)/token-weight — probability-proportional-to-
+    * size sampling that is reproducible across runs and engines, and
+    * mergeable across partitions (each keeps a local top-k; the
+    * union's top-k is exact). */
+  private val weightedSample = Q("q_sample_weighted",
+    (s, dir) => Curation.weightedSample(
+      Tables.load(s, dir, "documents"), k = 20),
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, source,
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      keyed AS (SELECT doc_id, source, n_tokens,
+          ln((CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              + 1) / 1152921504606846976.0) / n_tokens AS key
+        FROM toks),
+      ranked AS (SELECT doc_id, source, n_tokens, key,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+        FROM keyed)
+      SELECT doc_id, source, n_tokens, rank, round(key, 6) AS key_r
+      FROM ranked WHERE rank <= 20"""))
+
   /** Bloom-sketch decontamination gate (bounds-check pattern, the
     * q_sketch_mergeable rule): the exact broadcast-join profile and the
     * Bloom broadcast-SKETCH profile run over the same split, and the
@@ -714,5 +739,6 @@ object CurationQueries {
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, decontaminateBloom, pack,
     packScalable, packManifest, runCollapse, pretrainPipeline, pagerank,
-    sourceCap, profileTable, triangles, rankScale, tokenBudget)
+    sourceCap, profileTable, triangles, rankScale, tokenBudget,
+    weightedSample)
 }

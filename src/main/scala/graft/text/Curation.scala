@@ -66,6 +66,33 @@ object Curation {
         col("cum_tokens"), round(col("q"), 6).as("q_r"))
   }
 
+  /** Weighted reservoir sample (Efraimidis–Spirakis A-ES),
+    * derandomized: per source keep the `k` documents with the largest
+    * ln(u)/w, where u is a deterministic hash-uniform in (0, 1] from
+    * doc_id and w the document's token count — selection probability
+    * proportional to weight, without replacement, and (unlike a true
+    * reservoir) reproducible across runs and engines, which is what a
+    * training pipeline actually wants from its sampler. ln(u)/w is the
+    * monotone log form of the A-ES key u^(1/w), so the top-k sets are
+    * identical. Shape at 100 TB: the A-ES key is the property that
+    * makes weighted sampling MERGEABLE — each partition keeps its
+    * local top-k, the union's top-k is exact; here one shuffle on
+    * source with WindowGroupLimit pushing the cutoff below it. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "weightedSample needs k > 0")
+    val u = (Scalars.md5Long60(col("doc_id").cast("string")) + 1)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+      .withColumn("key", log(u) / col("n_tokens"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rank"),
+        round(col("key"), 6).as("key_r"))
+  }
+
   /** Boilerplate scoring (CCNet/RefinedWeb-style): the fraction of a
     * document's distinct word 3-shingles that are corpus-frequent
     * (doc-frequency ≥ `dfCap`). High fractions mark template/boilerplate
