@@ -37,8 +37,15 @@ object Bench {
     // ±15%). One untimed pass over the q_stream_* family pins all
     // TIMED reps to warm-path behavior; failures surface in the timed
     // reps, so they're ignored here.
-    names.filter(_._1.startsWith("q_stream_")).foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    names.filter(_._1.startsWith("q_stream_")).foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count(); () } catch {
+        // logged, not rethrown: a broken warm-up must stay visible when
+        // adjudicating timed-rep variance (a half-initialized state dir
+        // can skew the reps) but failures are the TIMED reps' to report
+        case e: Throwable => System.err.println(
+          s"[bench] warm-up of $name failed: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       spark.catalog.clearCache()
     }
     // name -> (per-rep seconds for successful reps, first error if any)
@@ -88,6 +95,13 @@ object Bench {
     Files.writeString(Paths.get("target/bench.json"),
       line.dropRight(1) + s""","per_rep":$perRep}""")
     println(line)
+    // compact summary printed LAST: the round snapshot keeps a truncated
+    // TAIL of the output, which in r1-r7 lost the headline totals at the
+    // head of the long line — the final line always survives intact
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""n_queries":${names.size},"n_errors":$nErrors,"sf":"$sfDir",""" +
+      s""""summary_of":"full line above","full_artifact":"target/bench.json"}""")
     spark.stop()
   }
 }

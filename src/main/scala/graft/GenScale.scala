@@ -39,9 +39,15 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  /** Key offset unit: the smallest power of 10 above the column max. */
-  private def unit(df: DataFrame, key: String): Long = {
-    val mx = df.agg(max(col(key))).head().getLong(0)
+  /** Key offset unit: the smallest power of 10 above the max of EVERY
+    * column the offset will be applied to (customer keys are shifted in
+    * orders, customer AND events — a unit derived from one table alone
+    * would silently collide copies if another table's keys ran higher).
+    * Reads via getAs[Number] so int-typed key columns work too. */
+  private def unit(cols: (DataFrame, String)*): Long = {
+    val mx = cols.map { case (df, key) =>
+      df.agg(max(col(key))).head().getAs[Number](0).longValue()
+    }.max
     var k = 1L
     while (k <= mx) k *= 10
     k
@@ -66,8 +72,9 @@ object GenScale {
     }
 
     val orders = load("orders")
-    val kOrd = unit(orders, "o_orderkey")
-    val kCust = unit(orders, "o_custkey")
+    val kOrd = unit(orders -> "o_orderkey")
+    val kCust = unit(orders -> "o_custkey",
+      load("customer") -> "c_custkey", load("events") -> "user_id")
     save("orders")(scaled(orders, copies) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * kOrd))
         .withColumn("o_custkey", col("o_custkey") + lit(i * kCust))
@@ -82,14 +89,14 @@ object GenScale {
     })
 
     val events = load("events")
-    val kEv = unit(events, "event_id")
+    val kEv = unit(events -> "event_id")
     save("events")(scaled(events, copies) { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * kEv))
         .withColumn("user_id", col("user_id") + lit(i * kCust))
     })
 
     val docs = load("documents")
-    val kDoc = unit(docs, "doc_id")
+    val kDoc = unit(docs -> "doc_id")
     save("documents")(scaled(docs, copies) { (df, i) =>
       val rewritten =
         if (i == 0) col("text")
@@ -102,7 +109,7 @@ object GenScale {
     })
 
     val emb = load("embeddings")
-    val kVec = unit(emb, "vec_id")
+    val kVec = unit(emb -> "vec_id")
     save("embeddings")(scaled(emb, copies) { (df, i) =>
       val rotated =
         if (i == 0) col("embedding")

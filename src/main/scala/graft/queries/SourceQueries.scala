@@ -51,53 +51,51 @@ object SourceQueries {
 
   /** S7 (pagination tail): the reference's REST pagination loop
     * (`FULL:159-183`) — a first payload yields the page cursors
-    * (distinct non-null stateCd analog), the driver loops the cursors
-    * fetching one JSON page each, VALIDATES that the page echoes its
-    * own cursor (`FULL:171-180`: a page answering for the wrong cursor
-    * is dropped with a log line, not unioned), and concatenates the
-    * surviving pages into one frame. Modeled with `customer` as the
-    * remote API: page k = nation k's customers as a JSON-lines payload
-    * carrying the echoed cursor; page 3 deliberately echoes -1 to
-    * exercise the drop leg. Driver-side work is CURSOR-count bounded
-    * (25 pages), never row-count bounded — the per-page validation
-    * reads one row (`data[0]`, as the reference does) and the union is
-    * lazy, so one distributed job scans all surviving pages. */
+    * (distinct non-null stateCd analog), each cursor is fetched as one
+    * JSON page, a page must VALIDATE by echoing its own cursor
+    * (`FULL:171-180`: a page answering for the wrong cursor is dropped,
+    * not unioned), and the surviving pages concatenate into one frame.
+    * Modeled with `customer` as the remote API: page k = nation k's
+    * customers as a JSON-lines payload carrying the echoed cursor; page
+    * 3 deliberately echoes -1 to exercise the drop leg.
+    *
+    * Validation + union are ONE distributed job (no per-cursor driver
+    * round-trips — at a 10k-cursor API the r7 driver loop was 20k Spark
+    * jobs): all pages read through one partition-discovered scan with
+    * `page` as the partition column, the echo check is a per-page
+    * window aggregate, and mismatching pages drop wholesale. The
+    * reference validates via `data[0]` alone; the per-page min
+    * generalizes that to every row (identical here — a page echoes one
+    * cursor — and strictly safer against mixed-payload pages). A cursor
+    * whose fetch failed produced no page directory, so it is absent
+    * from the discovered partitions — the try/except drop leg for
+    * free, no fs.exists probes. Plan shape pinned in Round8Spec. */
   private val jsonPaged = Q("q_s7_json_paged",
     (s, dir) => {
       val base = "/root/repo/target/stage/q_s7_json_paged"
       val cust = Tables.load(s, dir, "customer")
+      // the first payload's cursor list, kept distributed: restrict the
+      // staged pages to known cursors with a semi join, never a collect
       val cursors = Tables.load(s, dir, "nation")
-        .select(col("n_nationkey")).where(col("n_nationkey").isNotNull)
-        .distinct().collect()
-        .map(_.getAs[Number]("n_nationkey").longValue).sorted
+        .select(col("n_nationkey").cast("long").as("c_nationkey"))
+        .where(col("c_nationkey").isNotNull)
       // fixture scaffolding, not the modeled behavior: the per-cursor
-      // JSON payloads land in ONE partitioned write (page=<cursor>
-      // dirs) instead of |cursors| separate jobs — what's modeled is
-      // the DRIVER loop below: per-page fetch, data[0] echo check,
-      // drop-on-mismatch, lazy union
-      cust.filter(col("c_nationkey").isin(cursors.map(Long.box): _*))
+      // JSON payloads land in ONE partitioned write (page=<cursor> dirs)
+      cust.join(cursors.hint("broadcast"), Seq("c_nationkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           when(col("c_nationkey") === 3L, lit(-1L)) // the page that lies
             .otherwise(col("c_nationkey").cast("long")).as("page_cursor"),
           col("c_nationkey").cast("long").as("page"))
         .write.mode("overwrite").partitionBy("page").json(s"$base/pages")
-      val pageSchema =
-        "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, page_cursor LONG"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
-      val valid = cursors
-        // a cursor with no rows produced no page at all — the failed
-        // fetch, dropped exactly like a wrong-echo page (FULL:171-180's
-        // try/except leg)
-        .filter(k => fs.exists(
-          new org.apache.hadoop.fs.Path(s"$base/pages/page=$k")))
-        .map { k =>
-          k -> s.read.schema(pageSchema).json(s"$base/pages/page=$k")
-        }.filter { case (k, pg) =>
-          pg.select(col("page_cursor")).limit(1).collect()
-            .headOption.exists(_.getLong(0) == k)
-        }
-      valid.map(_._2).reduce(_ unionByName _)
+      val pageSchema = "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, " +
+        "page_cursor LONG, page LONG"
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("page"))
+      s.read.schema(pageSchema).json(s"$base/pages")
+        .withColumn("__echo_ok",
+          min((col("page_cursor") === col("page")).cast("int")).over(w))
+        .filter(col("__echo_ok") === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("page_cursor"))
     },
     Some("""
       SELECT c_custkey, c_name, c_acctbal,

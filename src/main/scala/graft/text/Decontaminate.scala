@@ -62,6 +62,8 @@ object Decontaminate {
     * NEGATIVES, so every truly contaminated n-gram is counted;
     * false positives can only inflate `n_hits` (rate fpp set by
     * `numBits` vs the benchmark's cardinality). */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def contaminationBloom(train: DataFrame, bench: DataFrame, n: Int = 5,
       rateThreshold: Double = 0.2, estimatedItems: Long = 1000000L,
       numBits: Long = 1L << 23): DataFrame = {
@@ -70,19 +72,23 @@ object Decontaminate {
     // scalar subquery (the same contract the optimizer's own runtime
     // filters satisfy) — so the built filter lands in a temp view and
     // the probe references it as a scalar subquery, which Spark
-    // evaluates once and ships to every task like a broadcast value
+    // evaluates once and ships to every task like a broadcast value.
+    // The view name is per-invocation: Dataset analysis resolves the
+    // subquery eagerly, but nested or concurrent callers in one session
+    // must not clobber each other's filter between build and resolve.
+    val view = s"graft_bloom_bf_${bloomViewSeq.incrementAndGet()}"
     Dedup.ngrams(bench, n)
       .select(Scalars.md5Long60(col("s")).as("sh"))
       .distinct()
       .agg(expr(s"graft_bloom_agg(sh, ${estimatedItems}L, ${numBits}L)")
         .as("bf"))
-      .createOrReplaceTempView("graft_bloom_bf")
+      .createOrReplaceTempView(view)
     Dedup.ngrams(train, n)
       .select(col("doc_id"), Scalars.md5Long60(col("s")).as("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(expr("if(graft_bloom_might_contain(" +
-          "(SELECT bf FROM graft_bloom_bf), sh), 1L, 0L)"))
+          s"(SELECT bf FROM $view), sh), 1L, 0L)"))
           .as("n_hits"))
       .withColumn("contamination_rate",
         col("n_hits").cast("double") / col("n_ngrams"))

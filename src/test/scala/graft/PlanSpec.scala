@@ -227,6 +227,15 @@ class PlanSpec extends SparkSuite {
     // and the final doc_id zip of the two profiles
     assert(p.contains("might_contain"), p.take(1500))
     assert(p.contains("Subquery"), p.take(1500))
+    // exactly those two joins anywhere in the plan: a regression that
+    // reintroduces a benchmark-relation join inside the bloom probe
+    // shows up as a third join operator
+    val joins = ("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct)").r
+      .findAllIn(p).length
+    assert(joins == 2,
+      s"expected exactly 2 joins (exact probe + doc_id zip), got $joins:\n" +
+        p.take(2000))
   }
 
   test("repeated-span profile is bucketed gram work, never all-pairs") {

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+class Round8Spec extends SparkSuite {
+
+  test("paged-JSON validation + union is ONE distributed job: " +
+      "single page scan, per-page window echo check, no driver loop") {
+    val df = SparkEntry.queries("q_s7_json_paged")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // one partition-discovered scan over ALL pages — the r7 form read
+    // each page's directory separately and unioned N relations
+    val scans = "FileScan json".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 json scan, got $scans:\n${p.take(1500)}")
+    assert(!p.contains("Union"), p.take(1500))
+    // the echo check is a per-page window aggregate, not a collect()
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("paged-JSON drop semantics survive the rewrite: lying page absent, " +
+      "honest pages complete") {
+    val rows = SparkEntry.queries("q_s7_json_paged")(spark, sf)
+      .select(col("page_cursor")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!rows.contains(3L), "page 3 echoes -1 and must be dropped")
+    assert(!rows.contains(-1L), "the lying echo value must not survive")
+    val expected = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet - 3L
+    assert(rows == expected, s"surviving pages $rows != expected $expected")
+  }
+}
