@@ -222,19 +222,111 @@ object TextQueries {
     (s, dir) => Dedup.simhash(Tables.load(s, dir, "documents")),
     Some(simhashCte + "\n      SELECT * FROM sim"))
 
+  /** Banded radius-6 pairs as a reusable CTE (the unbounded form, the
+    * bounded top-m form, and the top-m recall gate all build on it). */
+  private val simhashPairsCte = simhashCte + raw""",
+      sp AS (SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (b * 8)) % 256 AS band_val
+             FROM sim, unnest(range(0, 4)) AS u(b)),
+      prs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                  AS hamming
+              FROM sp a JOIN sp b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)"""
+
   private val simhashPairs = Q("q_dedup_simhash_pairs",
     (s, dir) => Dedup.simhashPairs(
       Dedup.simhash(Tables.load(s, dir, "documents")), maxHamming = 6),
-    Some(simhashCte + raw""",
-      sp AS (SELECT doc_id, simhash, b AS band_idx,
-               (simhash >> (b * 8)) % 256 AS band_val
-             FROM sim, unnest(range(0, 4)) AS u(b))
-      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      FROM sp a JOIN sp b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""))
+    Some(simhashPairsCte + "\n      SELECT da, db, hamming FROM prs"))
+
+  /** Per-doc top-m view of the banded pairs (symmetrized, ranked by
+    * (hamming, neighbor)) shared by the bounded query and its gate. */
+  private val simhashTopmCte = simhashPairsCte + raw""",
+      sym AS (SELECT da AS doc_id, db AS nb, hamming FROM prs
+              UNION ALL
+              SELECT db AS doc_id, da AS nb, hamming FROM prs),
+      rk AS (SELECT doc_id, nb, hamming,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY hamming, nb) AS BIGINT) AS nb_rank
+             FROM sym)"""
+
+  /** Bounded-emission near-dup candidates: per-document 5 nearest by
+    * Hamming distance among the banded radius-6 candidates — the 100 TB
+    * consumer form (output capped at n_docs × m, vs the unbounded pair
+    * join whose output grows with dup density; measured exponent 1.05
+    * over the first decade). `q_dedup_topm_recall` gates its recall
+    * against the brute-force truth. */
+  private val simhashTopM = Q("q_dedup_simhash_topm",
+    (s, dir) => Dedup.simhashTopM(
+      Dedup.simhash(Tables.load(s, dir, "documents")),
+      maxHamming = 6, m = 5),
+    Some(simhashTopmCte + raw"""
+      SELECT doc_id, nb, hamming, nb_rank FROM rk WHERE nb_rank <= 5"""))
+
+  /** Top-m quality gate — "measure, don't guess" for the bounded
+    * emission: brute-force ALL radius-6 neighbors for a deterministic
+    * 5 % document sample, take the same per-doc top-5, and measure how
+    * many of those truth pairs the banded top-m kept. The banded side's
+    * per-doc ranks don't depend on other documents, so gating on the
+    * sample is exact for sampled docs. Floor pinned at 0.9 — measured
+    * 0.958 / 0.936 / 0.982 at sf0.001 / 0.01 / 0.1: Hamming ≤ 3
+    * neighbors are pigeonhole-complete under 4-bands-of-8 banding, the
+    * 4..6 tail is probabilistic, and recall RISES with corpus density
+    * (denser corpora fill the top-5 from the guaranteed ≤ 3 zone). The
+    * oracle pins the boolean to literal TRUE so a banding-quality
+    * collapse hash-mismatches instead of both engines agreeing on
+    * false. */
+  private val topmRecall = Q("q_dedup_topm_recall",
+    (s, dir) => {
+      val sim = graft.CacheScope.persist(
+        Dedup.simhash(Tables.load(s, dir, "documents")))
+      val banded = graft.CacheScope.persist(
+        Dedup.simhashTopM(sim, maxHamming = 6, m = 5)
+          .filter(col("doc_id") % 100 < 5)
+          .select(col("doc_id"), col("nb")))
+      val truthAll = sim.alias("a").filter(col("doc_id") % 100 < 5)
+        .join(broadcast(sim.alias("b")),
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nb"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("hamming"), col("nb"))
+      val truth = graft.CacheScope.persist(
+        truthAll.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 5).select(col("doc_id"), col("nb")))
+      val hits = truth.join(banded, Seq("doc_id", "nb"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_true"), 6))
+        .withColumn("recall_ok",
+          col("n_hit").cast("double") / col("n_true") >= 0.9)
+    },
+    Some(simhashTopmCte + raw""",
+      btop AS (SELECT doc_id, nb FROM rk
+               WHERE nb_rank <= 5 AND doc_id % 100 < 5),
+      truth AS (SELECT a.doc_id, b.doc_id AS nb,
+                  CAST(row_number() OVER (PARTITION BY a.doc_id
+                    ORDER BY bit_count(xor(a.simhash, b.simhash)),
+                             b.doc_id) AS BIGINT) AS r
+                FROM sim a JOIN sim b ON b.doc_id <> a.doc_id
+                WHERE a.doc_id % 100 < 5
+                  AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+      ttop AS (SELECT doc_id, nb FROM truth WHERE r <= 5),
+      hitc AS (SELECT count(*) AS n_hit
+               FROM ttop JOIN btop USING (doc_id, nb))
+      SELECT (SELECT count(*) FROM ttop) AS n_true,
+             (SELECT count(*) FROM btop) AS n_banded,
+             hitc.n_hit,
+             round(CAST(hitc.n_hit AS DOUBLE) /
+               (SELECT count(*) FROM ttop), 6) AS recall,
+             true AS recall_ok
+      FROM hitc"""))
 
   /** Candidate verification by exact edit distance: LSH narrows the
     * pair space, levenshtein confirms — the standard two-phase near-dup
@@ -650,7 +742,8 @@ object TextQueries {
       FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"""))
 
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
-    exact, jaccard, minhash, lsh, simhash, simhashPairs, editVerify,
-    lshRecall, lmScore, hashTf, boilerplate, tokenHistogram, pmi,
-    prefixJaccard, corpusDrift, containment, containmentExact, substring)
+    exact, jaccard, minhash, lsh, simhash, simhashPairs, simhashTopM,
+    topmRecall, editVerify, lshRecall, lmScore, hashTf, boilerplate,
+    tokenHistogram, pmi, prefixJaccard, corpusDrift, containment,
+    containmentExact, substring)
 }

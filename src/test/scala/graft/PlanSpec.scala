@@ -238,6 +238,15 @@ class PlanSpec extends SparkSuite {
         p.take(2000))
   }
 
+  test("bounded simhash top-m runs WindowGroupLimit below the shuffle") {
+    val p = planOf("q_dedup_simhash_topm")
+    // the rank-≤-m filter must push a partial per-key top-m under the
+    // window shuffle, so no partition materializes an unbounded
+    // neighbor list
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("repeated-span profile is bucketed gram work, never all-pairs") {
     val p = planOf("q_dedup_substring")
     assert(!p.contains("CartesianProduct"), p.take(1200))

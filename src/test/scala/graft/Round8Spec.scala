@@ -20,6 +20,25 @@ class Round8Spec extends SparkSuite {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("simhash top-m: emission bounded at m per document, pairs drawn " +
+      "from the unbounded banded set") {
+    import graft.text.Dedup
+    val sim = graft.CacheScope.persist(
+      Dedup.simhash(Tables.load(spark, sf, "documents")))
+    val topm = graft.CacheScope.persist(Dedup.simhashTopM(sim, 6, 3))
+    assert(topm.groupBy(col("doc_id")).count()
+      .filter(col("count") > 3).count() == 0,
+      "a document exceeded its neighbor budget")
+    val unbounded = Dedup.simhashPairs(sim, 6)
+    val sym = unbounded
+      .select(col("da").as("doc_id"), col("db").as("nb"))
+      .unionByName(unbounded
+        .select(col("db").as("doc_id"), col("da").as("nb")))
+    assert(topm.select(col("doc_id"), col("nb")).except(sym).count() == 0,
+      "top-m emitted a pair outside the unbounded candidate set")
+    assert(topm.count() > 0, "fixture produced no top-m pairs")
+  }
+
   test("paged-JSON drop semantics survive the rewrite: lying page absent, " +
       "honest pages complete") {
     val rows = SparkEntry.queries("q_s7_json_paged")(spark, sf)
