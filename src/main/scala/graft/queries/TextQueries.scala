@@ -637,58 +637,90 @@ object TextQueries {
         CAST(sum(t_ba) AS DOUBLE) AS kl_ba
       FROM terms GROUP BY v"""))
 
-  /** Near-subset containment pairs: common/min(na,nb) ≥ 0.9 — the
-    * asymmetric complement to Jaccard. A short document quoted inside a
-    * long one scores low Jaccard (union dominated by the long doc) but
-    * containment ≈ 1; dedup pipelines need both. Candidates come from
-    * the same frequency-capped inverted index as the Jaccard pass — a
-    * RECALL-BOUNDED variant (a pair whose every shared shingle has
-    * df > 10 is invisible); `q_dedup_containment_exact` below is the
-    * guaranteed-complete prefix-filtered form. */
-  private val containment = Q("q_dedup_containment",
-    (s, dir) => {
-      val sh = graft.CacheScope.persist(
-        Dedup.shingles(Tables.load(s, dir, "documents")))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      val a = sh.join(dfreq.filter(col("df") <= 10), "s").alias("a")
-      val pairs = a.join(sh.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.s").as("s")).distinct()
-        .groupBy(col("da"), col("db"))
-        .agg(count(lit(1)).as("n_rare_common"))
-      // exact common count over candidates (rare-shingle overlap is the
-      // candidate filter; containment is computed on the FULL sets)
-      pairs.select(col("da"), col("db"))
-        .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .withColumn("containment", col("n_common").cast("double") /
-          least(col("na"), col("nb")))
-        .filter(col("containment") >= 0.9)
-        .select(col("da"), col("db"), col("n_common"),
-          round(col("containment"), 6).as("containment"))
-    },
-    Some(shCte + raw""",
+  /** Shared oracle CTEs for the adaptive-capped containment candidate
+    * pass: exact df-histogram quantile (0.99, floored at 10) → cap →
+    * rare-shingle candidates → exact containment on the full sets. */
+  private val cappedContainCte = shCte + raw""",
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      hist AS (SELECT df, count(*) AS c FROM dfreq GROUP BY df),
+      cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cc,
+                sum(c) OVER () AS nsh FROM hist),
+      cap AS (SELECT greatest(10, (SELECT min(df) FROM cum
+                WHERE cc >= ceil(0.99 * nsh))) AS cap),
       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-               FROM sh a JOIN sh b USING (s) JOIN dfreq USING (s)
-               WHERE a.doc_id < b.doc_id AND df <= 10),
+               FROM sh a JOIN sh b USING (s) JOIN dfreq USING (s), cap
+               WHERE a.doc_id < b.doc_id AND df <= cap.cap),
       common AS (SELECT c.da, c.db, count(*) AS n_common
                  FROM cand c JOIN sh a ON a.doc_id = c.da
                  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
-                 GROUP BY 1, 2)
-      SELECT da, db, n_common,
-        round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6)
-          AS containment
-      FROM common
-      JOIN sizes sa ON da = sa.doc_id
-      JOIN sizes sb ON db = sb.doc_id
-      WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.9"""))
+                 GROUP BY 1, 2),
+      cpairs AS (SELECT da, db, n_common,
+                   round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6)
+                     AS containment
+                 FROM common
+                 JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+                 WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n)
+                   >= 0.9)"""
+
+  /** Near-subset containment pairs: common/min(na,nb) ≥ 0.9 — the
+    * asymmetric complement to Jaccard. A short document quoted inside a
+    * long one scores low Jaccard (union dominated by the long doc) but
+    * containment ≈ 1; dedup pipelines need both. RECALL-BOUNDED cheap
+    * variant with a corpus-ADAPTIVE rarity cap (df-histogram 0.99
+    * quantile, floored at 10 — a fixed cap goes blind as df grows with
+    * the corpus); `q_dedup_containment_exact` is the
+    * guaranteed-complete prefix-filtered form and
+    * `q_dedup_containment_recall` pins this variant's recall against
+    * it. */
+  private val containment = Q("q_dedup_containment",
+    (s, dir) => Dedup.containmentPairsCapped(
+      Dedup.shingles(Tables.load(s, dir, "documents")), threshold = 0.9),
+    Some(cappedContainCte + raw"""
+      SELECT da, db, n_common, containment FROM cpairs"""))
+
+  /** Adaptive-cap quality gate — the capped variant's recall against
+    * the guaranteed-complete prefix-filtered twin, one hashed row
+    * (the q_pq_recall pattern). Measured 1.0 at sf0.001/0.01/0.1
+    * (caps 10/10/18); floor 0.95, oracle boolean literal TRUE so a
+    * recall collapse hash-mismatches. */
+  private val containmentRecall = Q("q_dedup_containment_recall",
+    (s, dir) => {
+      val sh = graft.CacheScope.persist(
+        Dedup.shingles(Tables.load(s, dir, "documents")))
+      val exact = graft.CacheScope.persist(
+        Dedup.prefixContainmentPairs(sh, 0.9).select(col("da"), col("db")))
+      val capped = graft.CacheScope.persist(
+        Dedup.containmentPairsCapped(sh, 0.9).select(col("da"), col("db")))
+      val hits = exact.join(capped, Seq("da", "db"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+        .withColumn("recall_ok",
+          col("n_hit").cast("double") / col("n_exact") >= 0.95)
+    },
+    Some(cappedContainCte + raw""",
+      epairs AS (SELECT e.da, e.db
+                 FROM (SELECT a.doc_id AS da, b.doc_id AS db,
+                         count(*) AS n_common
+                       FROM sh a JOIN sh b USING (s)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2) e
+                 JOIN sizes sa ON e.da = sa.doc_id
+                 JOIN sizes sb ON e.db = sb.doc_id
+                 WHERE CAST(e.n_common AS DOUBLE) / least(sa.n, sb.n)
+                   >= 0.9),
+      hitc AS (SELECT count(*) AS n_hit
+               FROM epairs JOIN cpairs USING (da, db))
+      SELECT (SELECT count(*) FROM epairs) AS n_exact,
+             (SELECT count(*) FROM cpairs) AS n_capped,
+             hitc.n_hit,
+             round(CAST(hitc.n_hit AS DOUBLE) /
+               (SELECT count(*) FROM epairs), 6) AS recall,
+             true AS recall_ok
+      FROM hitc"""))
 
   /** EXACT containment-≥-0.9 pairs via the asymmetric prefix filter
     * (prefix on the smaller set only, full index on the larger) — the
@@ -745,5 +777,5 @@ object TextQueries {
     exact, jaccard, minhash, lsh, simhash, simhashPairs, simhashTopM,
     topmRecall, editVerify, lshRecall, lmScore, hashTf, boilerplate,
     tokenHistogram, pmi, prefixJaccard, corpusDrift, containment,
-    containmentExact, substring)
+    containmentRecall, containmentExact, substring)
 }
