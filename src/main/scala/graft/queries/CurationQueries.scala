@@ -570,6 +570,159 @@ object CurationQueries {
         seq_last - seq_first + 1 AS n_seqs
       FROM ppk"""))
 
+  /** The pretrain composition EXTENDED with the round-7 exact-join
+    * operators — the full curation ladder a 100 TB corpus build runs.
+    * The exact signals are computed on the raw (non-heldout) corpus
+    * and applied FIRST, then cluster-level near-dup runs on the
+    * survivors — one signal pass over the corpus, removals applied,
+    * probabilistic clustering last:
+    * (1) EXACT containment dedup (a ≥ 0.9-contained document is a
+    *     quote/subset; the SMALLER side of each pair drops, tie →
+    *     larger doc_id);
+    * (2) sub-document repeated-span gate (ExactSubstr shape: ≥ half
+    *     the tokens inside cross-document 8-gram spans → boilerplate,
+    *     drop);
+    * (3) LSH/CC canonical whole-document near-dup on the survivors;
+    * (4) 3-gram decontamination vs the held-out `src0` slice;
+    * (5) Gopher quality gate; (6) sequence packing.
+    * Every stage is individually oracle-proven elsewhere
+    * (`q_dedup_containment_exact`, `q_dedup_substring`,
+    * `q_pretrain_pipeline`); this entry pins the WIRING of the two
+    * exact-join stages into the end-to-end path — at sf0.01 they
+    * remove documents the downstream stages never see, so a dropped
+    * or disconnected stage changes the hash. */
+  private val pretrainFull = Q("q_pretrain_full",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus0 = graft.CacheScope.persist(
+        docs.where(col("source") =!= "src0"))
+      // signal 1: exact containment pairs → drop the smaller side
+      val shC = graft.CacheScope.persist(Dedup.shingles(corpus0))
+      val csizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cdrops = Dedup.prefixContainmentPairs(shC, 0.9)
+        .join(csizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(csizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(when(col("na") < col("nb"), col("da"))
+          .when(col("nb") < col("na"), col("db"))
+          .otherwise(greatest(col("da"), col("db"))).as("doc_id"))
+      // signal 2: mostly-copied text (repeated-span profile)
+      val spanDrops = Dedup.repeatedSpanProfile(corpus0, k = 8)
+        .filter(col("mostly_dup")).select(col("doc_id"))
+      val corpus1 = graft.CacheScope.persist(
+        corpus0.join(cdrops.unionByName(spanDrops).distinct(),
+          Seq("doc_id"), "left_anti"))
+      // stage 3: cluster-level near-dup on the survivors
+      val cc = Dedup.connectedComponents(Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingles(corpus1)))
+        .select(col("da"), col("db")))
+      val keepers = Dedup.canonicalPerCluster(corpus1, cc, qualityCol)
+        .select(col("keep_id").as("doc_id"))
+      val corpus2 = corpus1.join(keepers, "doc_id")
+      val bench = docs.where(col("source") === "src0")
+      val clean = Decontaminate.removeContaminated(corpus2, bench,
+        n = 3, rateThreshold = 0.2)
+      val gated = clean
+        .withColumn("keep", TextAnalysis.gopherMetrics(
+          10, 1000, 2.0, 10.0, 0.2, 0.2).last)
+        .filter(col("keep"))
+      Curation.packSequencesScalable(gated, seqLen = 128)
+    },
+    Some(TextQueries.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + raw""",
+      c0 AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      sh0 AS (SELECT sh.doc_id, sh.s FROM sh JOIN c0 USING (doc_id)),
+      ksz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+      kcom AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nc
+               FROM sh0 a JOIN sh0 b USING (s)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      kdrop AS (SELECT DISTINCT CASE WHEN sa.n < sb.n THEN da
+                     WHEN sb.n < sa.n THEN db
+                     ELSE greatest(da, db) END AS doc_id
+                FROM kcom JOIN ksz sa ON da = sa.doc_id
+                          JOIN ksz sb ON db = sb.doc_id
+                WHERE CAST(nc AS DOUBLE) / least(sa.n, sb.n) >= 0.9),
+      k8 AS (SELECT toks.doc_id, i AS pos,
+               array_to_string(t[i+1:i+8], ' ') AS g8
+             FROM toks JOIN c0 USING (doc_id),
+                  unnest(CASE WHEN len(t) >= 8 THEN range(0, len(t) - 7)
+                              ELSE [] END) AS u(i)),
+      kd AS (SELECT g8 FROM k8 GROUP BY g8
+             HAVING count(DISTINCT doc_id) > 1),
+      kcov AS (SELECT DISTINCT doc_id, pos + j AS tp
+               FROM k8 JOIN kd USING (g8), unnest(range(0, 8)) AS v(j)),
+      krep AS (SELECT doc_id, count(*) AS n_rep FROM kcov GROUP BY doc_id),
+      ktok AS (SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS ntk
+               FROM toks JOIN c0 USING (doc_id)),
+      sdrop AS (SELECT ktok.doc_id FROM ktok LEFT JOIN krep USING (doc_id)
+                WHERE CAST(coalesce(n_rep, 0) AS DOUBLE) >= 0.5 * ntk),
+      c1 AS (SELECT doc_id FROM c0
+             WHERE doc_id NOT IN (SELECT doc_id FROM kdrop)
+               AND doc_id NOT IN (SELECT doc_id FROM sdrop)),
+      e2 AS (SELECT da AS src, db AS dst FROM pairs
+             WHERE da IN (SELECT doc_id FROM c1)
+               AND db IN (SELECT doc_id FROM c1)
+             UNION ALL
+             SELECT db, da FROM pairs
+             WHERE da IN (SELECT doc_id FROM c1)
+               AND db IN (SELECT doc_id FROM c1)),
+      r2(node, x) AS (
+        SELECT DISTINCT src, src FROM e2
+        UNION
+        SELECT r2.node, e2.dst FROM r2 JOIN e2 ON r2.x = e2.src),
+      comp2 AS (SELECT node AS doc_id, min(x) AS component
+                FROM r2 GROUP BY node),
+      ql AS (SELECT toks.doc_id, $qualitySqlExpr AS q
+             FROM toks JOIN c1 USING (doc_id)),
+      lab AS (SELECT ql.doc_id,
+                coalesce(comp2.component, ql.doc_id) AS component, ql.q
+              FROM ql LEFT JOIN comp2 ON ql.doc_id = comp2.doc_id),
+      win AS (SELECT doc_id, row_number() OVER (PARTITION BY component
+                ORDER BY q DESC, doc_id ASC) AS rn FROM lab),
+      keep AS (SELECT doc_id FROM win WHERE rn = 1),
+      bsh AS (SELECT DISTINCT
+                CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hh
+              FROM sh JOIN documents db USING (doc_id)
+              WHERE db.source = 'src0'),
+      csh AS (SELECT sh.doc_id,
+                CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hh
+              FROM sh JOIN keep USING (doc_id)),
+      cont AS (SELECT c.doc_id, count(*) AS n,
+                 sum(CASE WHEN b.hh IS NOT NULL THEN 1 ELSE 0 END) AS hits
+               FROM csh c LEFT JOIN bsh b USING (hh) GROUP BY 1),
+      clean AS (SELECT k.doc_id FROM keep k
+                WHERE k.doc_id NOT IN (SELECT doc_id FROM cont
+                  WHERE CAST(hits AS DOUBLE) / n >= 0.2)),
+      gm AS (SELECT toks.doc_id,
+          CAST(len(t) AS BIGINT) AS word_count,
+          CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS mean_word_len,
+          CAST(len(list_distinct(t)) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS distinct_ratio,
+          CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS top_token_frac,
+          ${TextQueries.hitsSql(TextAnalysis.enStops)} AS stop_hits
+        FROM toks JOIN clean USING (doc_id)),
+      gated AS (SELECT doc_id FROM gm
+        WHERE word_count >= 10 AND word_count <= 1000
+          AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+          AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
+          AND stop_hits >= 1),
+      ptoks AS (SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          $bucketSqlFull AS h
+        FROM toks JOIN gated USING (doc_id)),
+      pcum AS (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset
+        FROM ptoks),
+      ppk AS (SELECT doc_id, n_tokens, start_offset,
+          start_offset // 128 AS seq_first,
+          (start_offset + greatest(n_tokens, 1) - 1) // 128 AS seq_last
+        FROM pcum)
+      SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
+        seq_last - seq_first + 1 AS n_seqs
+      FROM ppk"""))
+
   /** Consecutive-token run collapse (repetition scrub) — removal counts,
     * ratio, and the md5 of the cleaned text are all hash-checked. */
   private val runCollapse = Q("q_text_run_collapse",
@@ -738,7 +891,8 @@ object CurationQueries {
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, decontaminateBloom, pack,
-    packScalable, packManifest, runCollapse, pretrainPipeline, pagerank,
+    packScalable, packManifest, runCollapse, pretrainPipeline,
+    pretrainFull, pagerank,
     sourceCap, profileTable, triangles, rankScale, tokenBudget,
     weightedSample)
 }

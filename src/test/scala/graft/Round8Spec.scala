@@ -39,6 +39,17 @@ class Round8Spec extends SparkSuite {
     assert(topm.count() > 0, "fixture produced no top-m pairs")
   }
 
+  test("pretrain-full wiring is non-vacuous: the exact-join stages drop " +
+      "documents the plain pipeline keeps") {
+    val plain = SparkEntry.queries("q_pretrain_pipeline")(spark, sf).count()
+    val full = SparkEntry.queries("q_pretrain_full")(spark, sf).count()
+    // containment + repeated-span removal must bite on the fixture —
+    // otherwise a disconnected stage would be hash-undetectable
+    assert(full < plain,
+      s"expected the exact-join stages to remove docs: full=$full plain=$plain")
+    assert(full > 0, "composed pipeline emptied the corpus")
+  }
+
   test("paged-JSON drop semantics survive the rewrite: lying page absent, " +
       "honest pages complete") {
     val rows = SparkEntry.queries("q_s7_json_paged")(spark, sf)
