@@ -39,6 +39,46 @@ class Round8Spec extends SparkSuite {
     assert(topm.count() > 0, "fixture produced no top-m pairs")
   }
 
+  test("AQE splits the skewed hot-shingle partition in the containment " +
+      "probe join") {
+    import spark.implicits._
+    // the containment probe joins prefix(smaller) against the FULL
+    // posting index — the one pair join where a boilerplate shingle
+    // cannot be pruned (the larger side can't be prefixed), i.e. the
+    // real 100 TB skew risk. Fixture: one shingle shared by 500 docs
+    // (the hot posting), 20 tiny docs whose only shingle IS the hot one
+    // (so the skewed key also produces matches), 50 unique-shingle docs.
+    val hot = (1 to 500).map(i => (i.toLong, s"hot1 hot2 hot3 u${i}a u${i}b"))
+    val tiny = (501 to 520).map(i => (i.toLong, "hot1 hot2 hot3"))
+    val uniq = (521 to 570).map(i => (i.toLong, s"q${i}a q${i}b q${i}c q${i}d"))
+    val docs = (hot ++ tiny ++ uniq).toDF("doc_id", "text")
+    val sh = graft.text.Dedup.shingles(docs)
+    // thresholds scaled to the fixture (the defaults are sized for
+    // hundreds of MB); broadcast disabled so the probe actually plans a
+    // shuffled join, as it would at 100 TB where neither side broadcasts
+    val confs = Map(
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = graft.text.Dedup.prefixContainmentPairs(sh, 0.9)
+      // collect() (not count()) so THIS df's query execution finalizes —
+      // the AQE-rewritten plan only exists on the executed plan
+      val n = df.collect().length
+      assert(n >= 10000, s"skew fixture should emit the tiny-in-hot pairs, got $n")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not split the skewed posting partition:\n" + p.take(3000))
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+  }
+
   test("pretrain-full wiring is non-vacuous: the exact-join stages drop " +
       "documents the plain pipeline keeps") {
     val plain = SparkEntry.queries("q_pretrain_pipeline")(spark, sf).count()
