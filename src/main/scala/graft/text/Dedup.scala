@@ -442,7 +442,9 @@ object Dedup {
     * `q_dedup_topm_recall`. */
   def simhashTopM(sh: DataFrame, maxHamming: Int, m: Int): DataFrame = {
     require(m >= 1, "per-document neighbor budget must be positive")
-    val pairs = simhashPairs(sh, maxHamming)
+    // persisted: the symmetrization reads the pair join from BOTH union
+    // branches — without it the banded self-join runs twice
+    val pairs = graft.CacheScope.persist(simhashPairs(sh, maxHamming))
     val sym = pairs
       .select(col("da").as("doc_id"), col("db").as("nb"), col("hamming"))
       .unionByName(pairs
