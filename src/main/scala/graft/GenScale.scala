@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   *    fixed low-id query/centroid rows keep their copy-0 originals, so
   *    kNN queries scan a 10× corpus — the scale-up shape that matters.
   *
-  * Usage: `runMain graft.GenScale [srcDir] [outDir] [copies]`.
+  * Usage: `runMain graft.GenScale [srcDir] [outDir] [copies] [tables]`
+  * — `tables` is an optional comma list restricting which tables are
+  * written (the second, 100× decade only needs `documents`; writing
+  * a 100× lineitem for a text-pair benchmark would be wasted disk).
   */
 object GenScale {
 
@@ -61,19 +64,23 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/sf1x")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val want: String => Boolean = args.lift(3) match {
+      case Some(list) => list.split(",").map(_.trim).toSet
+      case None => _ => true
+    }
     val spark = GraftSession.local(GraftSession.envCpus)
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def save(t: String)(df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def save(t: String)(df: => DataFrame): Unit =
+      if (want(t)) df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // dims: verbatim
     Seq("region", "nation", "supplier", "part").foreach { t =>
       save(t)(load(t))
     }
 
-    val orders = load("orders")
-    val kOrd = unit(orders -> "o_orderkey")
-    val kCust = unit(orders -> "o_custkey",
+    lazy val orders = load("orders")
+    lazy val kOrd = unit(orders -> "o_orderkey")
+    lazy val kCust = unit(orders -> "o_custkey",
       load("customer") -> "c_custkey", load("events") -> "user_id")
     save("orders")(scaled(orders, copies) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * kOrd))
@@ -88,36 +95,42 @@ object GenScale {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * kOrd))
     })
 
-    val events = load("events")
-    val kEv = unit(events -> "event_id")
-    save("events")(scaled(events, copies) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * kEv))
-        .withColumn("user_id", col("user_id") + lit(i * kCust))
-    })
+    save("events") {
+      val events = load("events")
+      val kEv = unit(events -> "event_id")
+      scaled(events, copies) { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * kEv))
+          .withColumn("user_id", col("user_id") + lit(i * kCust))
+      }
+    }
 
-    val docs = load("documents")
-    val kDoc = unit(docs -> "doc_id")
-    save("documents")(scaled(docs, copies) { (df, i) =>
-      val rewritten =
-        if (i == 0) col("text")
-        else expr(s"""array_join(transform(split(text, '\\\\s+'),
-          t -> CASE WHEN pmod(xxhash64(t, $i), 2) = 0 THEN t
-                    ELSE concat('v$i', t) END), ' ')""")
-      df.withColumn("doc_id", col("doc_id") + lit(i * kDoc))
-        .withColumn("text", rewritten)
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    })
+    save("documents") {
+      val docs = load("documents")
+      val kDoc = unit(docs -> "doc_id")
+      scaled(docs, copies) { (df, i) =>
+        val rewritten =
+          if (i == 0) col("text")
+          else expr(s"""array_join(transform(split(text, '\\\\s+'),
+            t -> CASE WHEN pmod(xxhash64(t, $i), 2) = 0 THEN t
+                      ELSE concat('v$i', t) END), ' ')""")
+        df.withColumn("doc_id", col("doc_id") + lit(i * kDoc))
+          .withColumn("text", rewritten)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }
 
-    val emb = load("embeddings")
-    val kVec = unit(emb -> "vec_id")
-    save("embeddings")(scaled(emb, copies) { (df, i) =>
-      val rotated =
-        if (i == 0) col("embedding")
-        else expr(s"transform(sequence(0, 63)," +
-          s" j -> embedding[pmod(j + ${7 * i}, 64)])")
-      df.withColumn("vec_id", col("vec_id") + lit(i * kVec))
-        .withColumn("embedding", rotated)
-    })
+    save("embeddings") {
+      val emb = load("embeddings")
+      val kVec = unit(emb -> "vec_id")
+      scaled(emb, copies) { (df, i) =>
+        val rotated =
+          if (i == 0) col("embedding")
+          else expr(s"transform(sequence(0, 63)," +
+            s" j -> embedding[pmod(j + ${7 * i}, 64)])")
+        df.withColumn("vec_id", col("vec_id") + lit(i * kVec))
+          .withColumn("embedding", rotated)
+      }
+    }
 
     println(s"[genscale] wrote $copies-fold scale-up of $src to $out")
     spark.stop()

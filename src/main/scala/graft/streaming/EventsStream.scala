@@ -27,17 +27,27 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming source over `<dir>/events.parquet`. The driver fixtures
+    * stage it as a single FILE while GenScale's synthetic decades write
+    * a parquet DIRECTORY of part files; neither layout reads the other's
+    * way — FileStreamSource requires its basePath to be a directory (so
+    * the file layout must go through a dir-level glob), and a dir-level
+    * pathGlobFilter on the file NAME matches nothing one level down in
+    * the directory layout (the r8 sf1x run silently streamed zero
+    * files). Branch on the on-disk layout. */
+  private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
+    val reader = spark.readStream.schema(eventsSchema).format("parquet")
+    if (new java.io.File(s"$dir/events.parquet").isDirectory)
+      reader.load(s"$dir/events.parquet")
+    else reader.option("pathGlobFilter", "events.parquet").load(dir)
+  }
+
   /** Hourly per-type counts/sums as a streaming query, run to completion
     * on the available data and returned as a DataFrame. Semantically
     * identical to the batch `q_events_hourly` — same oracle. */
   def hourlyAggregates(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_hourly_out"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .format("parquet")
-      // file source wants a directory: scan the table dir, glob the file
-      .option("pathGlobFilter", "events.parquet")
-      .load(dir)
+    val stream = eventsSource(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -61,11 +71,7 @@ object EventsStream {
     * age out). Aggregated per type so the batch oracle can hash-match. */
   def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_dedup_out"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(dir)
+    val stream = eventsSource(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
@@ -89,11 +95,7 @@ object EventsStream {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_stream_out"
     def side(eventType: String, idAs: String, tsAs: String) =
-      spark.readStream
-        .schema(eventsSchema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(dir)
+      eventsSource(spark, dir)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
@@ -196,11 +198,7 @@ object EventsStream {
     * idempotent (`FULL:72`'s overwrite semantics, streaming edition). */
   def sinkViaForeachBatch(spark: SparkSession, dir: String,
       outPath: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(dir)
+    val stream = eventsSource(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -287,11 +285,7 @@ object EventsStream {
     val name = "stream_enriched_out"
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(dir)
+    val stream = eventsSource(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
       .groupBy(col("event_type"),
