@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Everything is expression-only (higher-order array functions +
   * integer bit ops inside whole-stage codegen): no UDF, no shuffle
-  * except the candidate-pair join, which reuses the byte-banding
+  * except the candidate-pair join, which reuses the banded
   * inverted-index shape of `Dedup.simhashPairs` — never all-pairs.
   */
 object Quantize {

@@ -413,17 +413,28 @@ object Dedup {
         col("q").as("keep_quality"), col("n_docs"))
   }
 
-  /** 32-bit SimHash over the distinct token set: per-bit vote sums of
+  /** 60-bit SimHash over the distinct token set: per-bit vote sums of
     * ±1 weighted by the token hash's bit, then reassembled. One explode +
-    * one groupBy with 32 codegen'd sum expressions. */
+    * one groupBy with 60 codegen'd sum expressions.
+    *
+    * 60 bits (every bit of the md5-derived token hash), not 32: the
+    * fingerprint width bounds the RANDOM near-collision rate, which is
+    * what the banded pair join's emission scales with. At 500k docs a
+    * 32-bit fingerprint emits ~n²/2 × P[hamming ≤ 6 | 32] ≈ 33M pure
+    * chance pairs — the measured superlinear candidate growth of the
+    * first scaling decade — while at 60 bits the same expectation is
+    * ~single digits, so candidates track the corpus's TRUE near-dup
+    * density (Manku et al., WWW'07 use 64-bit fingerprints for the same
+    * reason). Values stay below 2^60, so the column is non-negative in
+    * both engines and band extraction needs no sign handling. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.tokens)).as("tok"))
       .withColumn("h", Scalars.md5Long60(col("tok")))
-    val votes = (0 until 32).map(j =>
+    val votes = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"v$j"))
     val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val bits = (0 until 32).map(j =>
+    val bits = (0 until 60).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
     voted.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
@@ -455,14 +466,34 @@ object Dedup {
       .filter(col("nb_rank") <= m)
   }
 
-  /** SimHash near-dup candidates: byte-banding (4 bands of 8 bits —
-    * pairs within Hamming distance 6 share a byte with high probability),
-    * verified with exact bit_count(xor). */
+  /** Circular 15-bit windows of the 60-bit fingerprint at the given
+    * bit offsets: rotate-right by `o`, keep the low 15 bits. The
+    * wrap-around low bits are masked BEFORE the up-shift so no
+    * intermediate overflows a signed 64-bit value in either engine. */
+  val bandOffsets: Seq[Int] = Seq(0, 15, 30, 45, 7, 22, 37, 52)
+
+  /** SimHash near-dup candidates: two rotated 4-window covers of the
+    * 60-bit fingerprint (15-bit circular windows at offsets 0/15/30/45
+    * and 7/22/37/52 — Manku et al.'s rotated-table design). Each cover
+    * is pigeonhole-complete for Hamming ≤ 3, and a pair at 4..6 misses
+    * only if EVERY one of the 8 windows is touched; candidates are
+    * verified with exact bit_count(xor).
+    *
+    * Band width matters for scale: expected bucket size is n/2^15 per
+    * window value, so raw join emission is ~8·n²/2^16 — at 500k docs
+    * that is ~15M rows, vs ~2G under the old 8-bit bands whose 256-way
+    * buckets made the self-join quadratic-heavy (and whose 32-bit
+    * fingerprint emitted tens of millions of pure chance pairs). The
+    * hamming filter runs before the cross-band distinct so only true
+    * radius candidates reach the shuffle. */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val banded = graft.CacheScope.persist(sh).select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band_idx"),
-          (shiftright(col("simhash"), k * 8) % 256).as("band_val"))): _*)).as("b"))
+      explode(array(bandOffsets.map { o =>
+        val rot = shiftright(col("simhash"), o)
+          .bitwiseOR(shiftleft(col("simhash").bitwiseAND(lit((1L << o) - 1)),
+            60 - o))
+        struct(lit(o).as("band_idx"), (rot % 32768).as("band_val"))
+      }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -473,7 +504,7 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -33,9 +33,9 @@ class TextDedupSpec extends SparkSuite {
     assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
   }
 
-  test("simhash is 32-bit and near-identical docs get small hamming") {
+  test("simhash is 60-bit and non-negative") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect()
-    assert(sh.forall { case (_, h) => h >= 0 && h < (1L << 32) })
+    assert(sh.forall { case (_, h) => h >= 0 && h < (1L << 60) })
   }
 
   test("exact dedup keeps one id per fingerprint") {
