@@ -645,16 +645,21 @@ object TextQueries {
       FROM terms GROUP BY v"""))
 
   /** Shared oracle CTEs for the adaptive-capped containment candidate
-    * pass: exact df-histogram quantile (0.99, floored at 10) → cap →
+    * pass: cap = max(floor 10, min(df-histogram 0.99 quantile, largest
+    * df whose cumulative pair mass Σ C(df,2)·c ≤ 128 × n_docs)) →
     * rare-shingle candidates → exact containment on the full sets. */
   private val cappedContainCte = shCte + raw""",
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
       hist AS (SELECT df, count(*) AS c FROM dfreq GROUP BY df),
       cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cc,
+                sum(c * df * (df - 1) / 2) OVER (ORDER BY df) AS cm,
                 sum(c) OVER () AS nsh FROM hist),
-      cap AS (SELECT greatest(10, (SELECT min(df) FROM cum
-                WHERE cc >= ceil(0.99 * nsh))) AS cap),
+      nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM sh),
+      cap AS (SELECT greatest(10, least(
+                (SELECT min(df) FROM cum WHERE cc >= ceil(0.99 * nsh)),
+                coalesce((SELECT max(df) FROM cum, nd
+                          WHERE cm <= 128 * ndocs), 10))) AS cap),
       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                FROM sh a JOIN sh b USING (s) JOIN dfreq USING (s), cap
                WHERE a.doc_id < b.doc_id AND df <= cap.cap),
@@ -675,9 +680,11 @@ object TextQueries {
     * asymmetric complement to Jaccard. A short document quoted inside a
     * long one scores low Jaccard (union dominated by the long doc) but
     * containment ≈ 1; dedup pipelines need both. RECALL-BOUNDED cheap
-    * variant with a corpus-ADAPTIVE rarity cap (df-histogram 0.99
-    * quantile, floored at 10 — a fixed cap goes blind as df grows with
-    * the corpus); `q_dedup_containment_exact` is the
+    * variant with a corpus-ADAPTIVE rarity cap: min(df-histogram 0.99
+    * quantile — a fixed cap goes blind as df grows with the corpus —
+    * and a candidate-pair-mass budget of 128·n_docs, which keeps the
+    * candidate stage linear in corpus size when the vocabulary
+    * saturates), floored at 10; `q_dedup_containment_exact` is the
     * guaranteed-complete prefix-filtered form and
     * `q_dedup_containment_recall` pins this variant's recall against
     * it. */
@@ -690,7 +697,7 @@ object TextQueries {
   /** Adaptive-cap quality gate — the capped variant's recall against
     * the guaranteed-complete prefix-filtered twin, one hashed row
     * (the q_pq_recall pattern). Measured 1.0 at sf0.001/0.01/0.1
-    * (caps 10/10/18); floor 0.95, oracle boolean literal TRUE so a
+    * (caps 10/10/11); floor 0.95, oracle boolean literal TRUE so a
     * recall collapse hash-mismatches. */
   private val containmentRecall = Q("q_dedup_containment_recall",
     (s, dir) => {

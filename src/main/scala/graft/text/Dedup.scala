@@ -226,30 +226,56 @@ object Dedup {
     * (measured on the fixtures: median df 1 → 9 from sf0.01 → sf0.1),
     * so a df ≤ 10 filter that sees half the shingle mass at sf0.1
     * would see almost nothing at a further 10× and recall would
-    * silently collapse. The quantile is computed EXACTLY from the df
-    * histogram: the only global window in the operator orders that
-    * histogram (≤ max(df) rows — a scalar reduction's worth of data,
-    * never the corpus), and the resulting one-row cap broadcasts into
-    * the candidate filter. Containment is then computed on the FULL
-    * shingle sets of surviving candidates, so emitted values are
-    * exact; only candidate RECALL is bounded, and
-    * `q_dedup_containment_recall` gates it against the
-    * guaranteed-complete prefix-filtered twin (measured 1.0 at
-    * sf0.001/0.01/0.1; floor 0.95). */
+    * silently collapse.
+    *
+    * The quantile alone bounds RECALL but not COST: the candidate
+    * stage emits Σ C(df,2) pairs over kept shingles, and on a corpus
+    * whose vocabulary saturates while df grows, a pure df-quantile cap
+    * admits quadratically growing pair mass (measured on the synthetic
+    * decade: 25 pairs/doc at sf0.01 → 245/doc at sf0.1; at the 100×
+    * corpus the posting join spilled past local disk). The cap is
+    * therefore the MINIMUM of the recall knob and a cost knob: the
+    * largest df whose cumulative pair mass Σ_{df'≤df} C(df',2)·c
+    * stays ≤ `pairBudgetPerDoc` × n_docs — a candidate budget LINEAR
+    * in corpus size by construction. On growing-vocabulary (real)
+    * corpora the mass bound is slack and the quantile decides; on
+    * fixed-vocabulary ones cost stays linear and recall is the knob
+    * that gives — and the recall gate, not silence, reports it.
+    *
+    * Both knobs are computed EXACTLY from the df histogram: the only
+    * global windows in the operator order that histogram (≤ max(df)
+    * rows — a scalar reduction's worth of data, never the corpus), and
+    * the resulting one-row cap broadcasts into the candidate filter.
+    * Containment is then computed on the FULL shingle sets of
+    * surviving candidates, so emitted values are exact; only candidate
+    * RECALL is bounded, and `q_dedup_containment_recall` gates it
+    * against the guaranteed-complete prefix-filtered twin (measured
+    * 1.0 at sf0.001/0.01/0.1, caps 10/10/11; floor 0.95). */
   def containmentPairsCapped(sh0: DataFrame, threshold: Double,
-      dfQuantile: Double = 0.99, minCap: Long = 10L): DataFrame = {
+      dfQuantile: Double = 0.99, minCap: Long = 10L,
+      pairBudgetPerDoc: Long = 128L): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val sh = graft.CacheScope.persist(sh0)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = graft.CacheScope.persist(
       sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
+    val nd = sh.agg(countDistinct(col("doc_id")).as("ndocs"))
     val cap = dfreq.groupBy(col("df")).agg(count(lit(1)).as("c"))
       .withColumn("cc", sum(col("c")).over(W.orderBy(col("df"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("cm", sum(col("c") * col("df") * (col("df") - 1) / 2)
+        .over(W.orderBy(col("df"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
       .withColumn("nsh", sum(col("c")).over(W.orderBy(col("df"))
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
-      .filter(col("cc") >= ceil(lit(dfQuantile) * col("nsh")))
-      .agg(greatest(lit(minCap), min(col("df"))).as("cap"))
+      .crossJoin(broadcast(nd))
+      .agg(
+        min(when(col("cc") >= ceil(lit(dfQuantile) * col("nsh")),
+          col("df"))).as("qcap"),
+        max(when(col("cm") <= lit(pairBudgetPerDoc) * col("ndocs"),
+          col("df"))).as("mcap"))
+      .select(greatest(lit(minCap),
+        least(col("qcap"), coalesce(col("mcap"), lit(minCap)))).as("cap"))
     val a = sh.join(dfreq, "s").crossJoin(broadcast(cap))
       .filter(col("df") <= col("cap")).alias("a")
     val cands = a.join(sh.alias("b"),
