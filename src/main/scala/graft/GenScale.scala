@@ -60,6 +60,18 @@ object GenScale {
       perCopy: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(i => perCopy(df, i)).reduce(_ unionByName _)
 
+  /** The per-copy document-text rewrite (exposed so the tokenization
+    * invariant is testable against the exact production expression).
+    * Splits on `\s+` like `TextAnalysis.tokens` does; the two must
+    * agree on the corpus (tokens already lower-case, trimmed,
+    * single-spaced) or the "within-copy pair preservation" guarantee
+    * silently breaks — Round9Spec pins the agreement. */
+  def rewriteText(i: Int): org.apache.spark.sql.Column =
+    if (i == 0) col("text")
+    else expr(s"""array_join(transform(split(text, '\\\\s+'),
+      t -> CASE WHEN pmod(xxhash64(t, $i), 2) = 0 THEN t
+                ELSE concat('v$i', t) END), ' ')""")
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/sf1x")
@@ -108,13 +120,8 @@ object GenScale {
       val docs = load("documents")
       val kDoc = unit(docs -> "doc_id")
       scaled(docs, copies) { (df, i) =>
-        val rewritten =
-          if (i == 0) col("text")
-          else expr(s"""array_join(transform(split(text, '\\\\s+'),
-            t -> CASE WHEN pmod(xxhash64(t, $i), 2) = 0 THEN t
-                      ELSE concat('v$i', t) END), ' ')""")
         df.withColumn("doc_id", col("doc_id") + lit(i * kDoc))
-          .withColumn("text", rewritten)
+          .withColumn("text", rewriteText(i))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
     }

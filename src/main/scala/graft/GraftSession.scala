@@ -7,10 +7,13 @@ import org.apache.spark.sql.SparkSession
   * drift apart on it.
   *
   * The non-negotiable configs and why:
-  *  - `spark.sql.legacy.parquet.nanosAsLong` — the events table carries
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — upstream files may carry
   *    parquet TIMESTAMP(NANOS), which Spark only reads as raw longs;
-  *    `Tables.load` then normalizes to a real TimestampType. Without the
-  *    flag the scan dies with PARQUET_TYPE_ILLEGAL.
+  *    without the flag such a scan dies with PARQUET_TYPE_ILLEGAL.
+  *    `Tables.normalizeTs` then folds whatever LOGICAL type the reader
+  *    produced (nanos-long, TIMESTAMP_NTZ micros, TIMESTAMP) to
+  *    session-zone TimestampType — the engine never assumes one
+  *    physical encoding (the round-8 fixture churn lesson).
   *  - `spark.sql.session.timeZone=UTC` — every timestamp function in the
   *    engine (and every oracle) assumes UTC; a host-local zone would
   *    silently shift date_format/window boundaries.

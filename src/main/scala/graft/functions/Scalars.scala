@@ -54,6 +54,16 @@ object Scalars {
   def dropAll(df: DataFrame, cols: Seq[String]): DataFrame =
     df.drop(cols: _*)
 
+  /** Event-time → epoch microseconds, the engine's ONE canonical
+    * timestamp-to-integer conversion. Every operator that does time
+    * arithmetic on `ts` (sessionize gaps, decay ages, state-store
+    * payloads) goes through here, so a future change in how event time
+    * is represented has exactly one place to touch. Assumes the column
+    * is already session-zone TimestampType — which `Tables.normalizeTs`
+    * guarantees for anything read through the source layer, whatever
+    * the file's physical encoding. */
+  def epochMicros(ts: Column): Column = unix_micros(ts)
+
   /** Deterministic 60-bit integer hash of a string, expressible in both
     * Spark and ANSI-ish SQL: first 15 hex chars of md5, base-16 decoded.
     * Used as the shingle hash for MinHash/SimHash so the DuckDB oracle can

@@ -832,10 +832,11 @@ object AnalyticsQueries {
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("value"), col("ts"))
-      val maxE = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      val maxE = ev.agg(
+        max(graft.functions.Scalars.epochMicros(col("ts"))).as("max_us"))
       ev.crossJoin(broadcast(maxE))
-        .withColumn("age_days",
-          expr("(max_us - unix_micros(ts)) DIV 86400000000"))
+        .withColumn("ts_us", graft.functions.Scalars.epochMicros(col("ts")))
+        .withColumn("age_days", expr("(max_us - ts_us) DIV 86400000000"))
         // cents enter the multiply ALREADY decimal(38,0): a LongType
         // product wraps silently in non-ANSI Spark once cents × 2^40
         // passes 2^63 (value > ~$84k at age 0), while the HUGEINT twin

@@ -157,10 +157,11 @@ object PipelineQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"))
-      val maxE = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      val maxE = ev.agg(
+        max(graft.functions.Scalars.epochMicros(col("ts"))).as("max_us"))
       val decay = ev.crossJoin(broadcast(maxE))
-        .withColumn("age_days",
-          expr("(max_us - unix_micros(ts)) DIV 86400000000"))
+        .withColumn("ts_us", graft.functions.Scalars.epochMicros(col("ts")))
+        .withColumn("age_days", expr("(max_us - ts_us) DIV 86400000000"))
         // decimal(38,0) BEFORE the multiply: a LongType product wraps
         // silently in non-ANSI Spark once cents × 2^40 passes 2^63
         .withColumn("term", (round(col("value") * 100).cast("decimal(38,0)") *

@@ -22,23 +22,40 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** S1: catalog table scan. Column pruning + predicate pushdown are left
-    * to Catalyst — callers chain `.select`/`.where` directly.
-    *
-    * The `events` table carries parquet TIMESTAMP(NANOS) which Spark only
-    * reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong=true`, set
-    * by our session builders); normalize to a micros TimestampType here so
-    * every consumer sees a real timestamp. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(path(dir, name))
+  /** Fold any physical encoding of an event-time column to session-zone
+    * `TimestampType`, keyed on the LOGICAL type Spark read it as — never
+    * on one assumed parquet layout. Upstream files at 100 TB mix
+    * encodings (the round-8 fixture churn proved it locally: the same
+    * table flipped from TIMESTAMP(NANOS) to micros-NTZ between runs), so
+    * the engine absorbs all of them here and consumers only ever see a
+    * real timestamp:
+    *  - `LongType`  → raw nanos (TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`): integer `DIV 1000`
+    *    to micros, not `/` — double division loses ulps above 2^53 and
+    *    shifts timestamps by ±1 µs;
+    *  - `TimestampNTZType` — wall-clock micros: reinterpreted in the
+    *    session zone (UTC per GraftSession), which preserves the stored
+    *    field values exactly;
+    *  - `TimestampType` — already canonical, untouched. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        // integer DIV, not `/`: double division loses ulps above 2^53 and
-        // shifts timestamps by ±1 µs
-        d.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else d
+      f.dataType match {
+        case LongType if f.name == colName =>
+          d.withColumn(colName, timestamp_micros(expr(s"`$colName` DIV 1000")))
+        case TimestampNTZType if f.name == colName =>
+          d.withColumn(colName, to_timestamp_ltz(col(colName)))
+        case _ => d
+      }
     }
   }
+
+  /** S1: catalog table scan. Column pruning + predicate pushdown are left
+    * to Catalyst — callers chain `.select`/`.where` directly. Event-time
+    * columns are folded to TimestampType whatever the file encoding
+    * (see [[normalizeTs]]). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(path(dir, name)))
 
   /** Register every table as a temp view so SQL-in-string queries (the
     * reference's dominant style, `FULL:331-476`) work unchanged. */

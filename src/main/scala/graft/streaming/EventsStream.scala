@@ -17,29 +17,33 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as
-    * long, converted after). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming source over `<dir>/events.parquet`. The driver fixtures
-    * stage it as a single FILE while GenScale's synthetic decades write
-    * a parquet DIRECTORY of part files; neither layout reads the other's
-    * way — FileStreamSource requires its basePath to be a directory (so
-    * the file layout must go through a dir-level glob), and a dir-level
+  /** Streaming source over `<dir>/events.parquet`.
+    *
+    * Schema: FileStreamSource needs one up front, and hardcoding a
+    * physical layout is exactly the brittleness that broke round 8 (the
+    * fixtures flipped from TIMESTAMP(NANOS)-as-long to micros-NTZ and a
+    * pinned `ts: LongType` schema plus an unconditional `DIV 1000` shrank
+    * every event time 1000×). So the schema is read from the batch
+    * footer of the same files — one driver-side metadata read — and
+    * `Tables.normalizeTs` folds whatever logical type that yields to
+    * session-zone TimestampType, same as the batch path.
+    *
+    * Layout: the driver fixtures stage events.parquet as a single FILE
+    * while GenScale's synthetic decades write a parquet DIRECTORY of
+    * part files; neither layout reads the other's way —
+    * FileStreamSource requires its basePath to be a directory (so the
+    * file layout must go through a dir-level glob), and a dir-level
     * pathGlobFilter on the file NAME matches nothing one level down in
     * the directory layout (the r8 sf1x run silently streamed zero
     * files). Branch on the on-disk layout. */
   private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
-    val reader = spark.readStream.schema(eventsSchema).format("parquet")
-    if (new java.io.File(s"$dir/events.parquet").isDirectory)
-      reader.load(s"$dir/events.parquet")
-    else reader.option("pathGlobFilter", "events.parquet").load(dir)
+    val path = graft.sources.Tables.path(dir, "events")
+    val physicalSchema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(physicalSchema).format("parquet")
+    val raw =
+      if (new java.io.File(path).isDirectory) reader.load(path)
+      else reader.option("pathGlobFilter", "events.parquet").load(dir)
+    graft.sources.Tables.normalizeTs(raw)
   }
 
   /** Hourly per-type counts/sums as a streaming query, run to completion
@@ -48,7 +52,6 @@ object EventsStream {
   def hourlyAggregates(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_hourly_out"
     val stream = eventsSource(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -72,7 +75,6 @@ object EventsStream {
   def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_dedup_out"
     val stream = eventsSource(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
@@ -96,7 +98,6 @@ object EventsStream {
     val name = "stream_stream_out"
     def side(eventType: String, idAs: String, tsAs: String) =
       eventsSource(spark, dir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
         .withWatermark(tsAs, "2 hours")
@@ -198,8 +199,15 @@ object EventsStream {
     * idempotent (`FULL:72`'s overwrite semantics, streaming edition). */
   def sinkViaForeachBatch(spark: SparkSession, dir: String,
       outPath: String): DataFrame = {
+    // fresh run: dynamic overwrite is idempotent for REPLAYED batches,
+    // but partitions a previous invocation wrote under different data
+    // (e.g. the r8 encoding bug's 1970 dates) are not in the new
+    // batch's partition set and would survive beside the fresh ones —
+    // the sink path is per-invocation scratch, so clear it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
     val stream = eventsSource(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
@@ -286,7 +294,6 @@ object EventsStream {
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val stream = eventsSource(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
       .groupBy(col("event_type"),
         coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))

@@ -30,9 +30,12 @@ object Sessionize {
       .orderBy(col("ts"), col("event_id"))
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // integer micros via the shared helper — no double round-trip
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > GapSeconds,
+          graft.functions.Scalars.epochMicros(col("ts")) -
+            graft.functions.Scalars.epochMicros(col("prev_ts")) >
+            GapSeconds * 1000000L,
           1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(

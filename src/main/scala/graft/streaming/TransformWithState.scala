@@ -64,7 +64,8 @@ object TransformWithState {
     fs.delete(new org.apache.hadoop.fs.Path(workPath), true)
     val srcPath = s"$workPath/src"
     graft.sources.Tables.load(spark, dir, "events")
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      .select(col("event_id"),
+        graft.functions.Scalars.epochMicros(col("ts")).as("ts_us"),
         col("user_id"))
       .withColumn("chunk", pmod(col("event_id"), lit(4)).cast("int"))
       .repartition(col("chunk"))
