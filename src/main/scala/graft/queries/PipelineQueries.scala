@@ -140,6 +140,33 @@ object PipelineQueries {
         max(epoch_us(ts)) AS last_ts_us
       FROM events GROUP BY user_id"""))
 
+  /** Streaming sessionization (flatMapGroupsWithState over a
+    * time-partitioned multi-batch replay, sentinel punctuation closing
+    * the final sessions) — must equal the batch sessionizer minus its
+    * surrogate session ordinal. */
+  private val streamSessionize = Q("q_stream_sessionize",
+    (s, dir) => graft.streaming.Sessionize.sessionizeQuery(s, dir,
+      "/root/repo/target/stage/q_stream_sessionize"),
+    Some("""
+      WITH l AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS ns,
+          event_id
+        FROM l),
+      se AS (
+        SELECT user_id, ts,
+          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM f)
+      SELECT user_id, count(*) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end
+      FROM se GROUP BY user_id, sid"""))
+
   /** User-360 composition, hash-checked end-to-end: sessionization +
     * time-decay engagement + outlier counts joined into one per-user
     * materialization — the "user feature table" an events warehouse
@@ -489,6 +516,6 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
-    streamOuter, streamMerge, streamTws, stateReader, user360, flagship,
-    flagshipFlat, outbound, outboundFlat)
+    streamOuter, streamMerge, streamTws, stateReader, streamSessionize,
+    user360, flagship, flagshipFlat, outbound, outboundFlat)
 }

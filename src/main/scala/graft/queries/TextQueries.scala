@@ -787,9 +787,80 @@ object TextQueries {
           AS mostly_dup
       FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"""))
 
+  /** BPE-ish tokenizer-fit statistics: the first merge iteration of
+    * byte-pair encoding — frequency of adjacent character pairs inside
+    * whitespace tokens, top-50 under a total order. At 100 TB this is
+    * the distributed half of tokenizer training: explode + one
+    * map-side-combined groupBy over a vocabulary-bounded key space,
+    * then TakeOrdered top-k (no full sort). */
+  private val bpePairs = Q("q_text_bpe_pairs",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50),
+    Some(raw"""
+      WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                    FROM documents),
+      pairs AS (SELECT substring(w, i, 2) AS pair
+                FROM toks, unnest(range(1, length(w))) AS r(i)
+                WHERE length(w) >= 2)
+      SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 50"""))
+
+  /** Cross-source contamination matrix: distinct 3-shingles shared by
+    * each source pair, with the overlap coefficient — the governance
+    * query "which corpus slices duplicate which" before mixing.
+    * Inverted-index join on the shingle: fan-out per shingle is
+    * bounded by the number of SOURCES it appears in (≤ #sources, a
+    * dimension-sized constant), never by document count — the
+    * per-source distinct collapses doc-level df first. */
+  private val sourceOverlap = Q("q_source_overlap",
+    (s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokens.as("t"))
+        .where(size(col("t")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(t)-3), i -> array_join(slice(t, i+1, 3), ' '))"))
+          .as("s"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("source").as("src_a"), col("s"))
+      val b = sh.select(col("source").as("src_b"), col("s"))
+      a.join(b, "s").where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double") / least(col("na"), col("nb")), 6)
+            .as("overlap"))
+    },
+    Some(raw"""
+      WITH toks AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM toks, unnest(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1)
+                                    ELSE [] END) AS r(i)),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source)
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared,
+        round(CAST(count(*) AS DOUBLE) / least(min(sa.n), min(sb.n)), 6) AS overlap
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      JOIN sizes sa ON sa.source = a.source
+      JOIN sizes sb ON sb.source = b.source
+      GROUP BY a.source, b.source"""))
+
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, simhashTopM,
     topmRecall, editVerify, lshRecall, lmScore, hashTf, boilerplate,
     tokenHistogram, pmi, prefixJaccard, corpusDrift, containment,
-    containmentRecall, containmentExact, substring)
+    containmentRecall, containmentExact, substring, bpePairs,
+    sourceOverlap)
 }

@@ -47,9 +47,21 @@ object Sessionize {
   }
 
   final case class Event(user_id: Long, ts: Timestamp)
+  /** State times are epoch MICROSECONDS — `Timestamp.getTime` is
+    * millis, and the fixtures carry sub-millisecond event times, so a
+    * millis-truncating gap comparison could disagree with the batch
+    * form's micros arithmetic on a gap within 1 ms of the boundary. */
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming sessionization: buffers one open session per user in
     * state; emits a session when a later event arrives past the gap (or
@@ -60,14 +72,14 @@ object Sessionize {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          val sorted = batch.toSeq.sortBy(e => micros(e.ts))
           var cur = state.getOption
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             cur match {
-              case Some(s) if t - s.end > GapSeconds * 1000 =>
-                closed += Session(user, s.n, new Timestamp(s.start), new Timestamp(s.end))
+              case Some(s) if t - s.end > GapSeconds * 1000000L =>
+                closed += Session(user, s.n, fromMicros(s.start), fromMicros(s.end))
                 cur = Some(SessionState(t, t, 1))
               case Some(s) =>
                 cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
@@ -78,5 +90,72 @@ object Sessionize {
           cur.foreach(state.update)
           closed.result().iterator
       }
+  }
+
+  /** Streaming sessionization END-TO-END, converging to exactly the
+    * batch result. Sessionization is order-sensitive ACROSS
+    * micro-batches (an open session in state assumes no earlier event
+    * can still arrive), so the staged replay is TIME-PARTITIONED: the
+    * event set is cut into consecutive time ranges, one file per
+    * range, with strictly increasing modification times —
+    * FileStreamSource replays unread files oldest-mtime-first, which
+    * is the event-time-ordered replay a partitioned log bus provides
+    * at 100 TB. The final batch appends one far-future sentinel event
+    * per user (end-of-stream punctuation): it closes each user's last
+    * open session; the sentinel's own one-event session stays in
+    * state and is never emitted. The emitted set therefore equals
+    * batch sessionization exactly — same oracle, minus the batch
+    * form's surrogate session ordinal. */
+  def sessionizeQuery(spark: SparkSession, dir: String,
+      workPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    val name = "stream_sessionize_out"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workPath), true)
+    val srcDir = new java.io.File(s"$workPath/src")
+    srcDir.mkdirs()
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"))
+    // fenced scalar bounds (A5 pattern): chunk cuts + sentinel time
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .withColumn("ts", lit(new Timestamp(hi + 2 * GapSeconds * 1000)))
+    val span = math.max(hi - lo, 1L)
+    val chunks: Seq[DataFrame] = (0 until 3).map { k =>
+      val clo = new Timestamp(lo + span * k / 3)
+      val chi = new Timestamp(lo + span * (k + 1) / 3)
+      ev.where(col("ts") >= lit(clo) &&
+        (if (k == 2) lit(true) else col("ts") < lit(chi)))
+    } :+ sentinels
+    chunks.zipWithIndex.foreach { case (df, k) =>
+      val tmp = s"$workPath/tmp$k"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"chunk_$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // pin replay order: distinct mtimes, one minute apart
+      dst.setLastModified(1000000000000L + k * 60000L)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .as[Event]
+    val q = sessionizeStream(stream).toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", s"$workPath/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
   }
 }

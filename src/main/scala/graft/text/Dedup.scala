@@ -22,6 +22,23 @@ import graft.functions.Scalars
   */
 object Dedup {
 
+  /** One row per document: its distinct-shingle count and the 64-bit
+    * hashes of its shingles as an array — the row-explosion-free
+    * verification representation. Counting a candidate pair's true
+    * intersection by re-joining (doc, s) rows sorts |cands| × n rows;
+    * on a dense corpus (median shingle df ≈ 9 on the synthetic sf10x
+    * decade, so "shares a rare shingle" admits tens of millions of
+    * candidates) that reached ~10⁹ rows and spilled past local disk.
+    * Joining candidates to two of THESE rows and intersecting in-row
+    * (`array_intersect`) keeps the volume at |cands| rows with
+    * bounded per-row arrays (docs are 14–78 shingles). Exact up to a
+    * 64-bit hash collision inside one pair's union (P ≈ n²/2⁶⁴ per
+    * pair; the brute-force oracles would hash-mismatch on one). */
+  private def docHashSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(collect_list(xxhash64(col("s"))).as("hs"),
+        count(lit(1)).as("n"))
+
   val P: Long = 2147483647L // 2^31-1, Mersenne prime
   /** k=16 universal hash parameter pairs (odd multipliers). */
   val AS: Seq[Long] = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
@@ -126,9 +143,10 @@ object Dedup {
     * > n − ⌈t·n⌉ elements, so they MUST share a prefix element —
     * candidates are the prefix inverted-index join, whose postings are
     * short because prefixes hold the rarest shingles. Verification
-    * joins candidates back to the full shingle sets (equi on (doc, s))
-    * for the exact intersection. The oracle is the brute-force
-    * all-pairs Jaccard: hash-equality proves the filter lost nothing.
+    * joins each candidate to the two documents' hashed shingle-set
+    * rows and intersects in-row (see [[docHashSets]]) for the exact
+    * intersection. The oracle is the brute-force all-pairs Jaccard:
+    * hash-equality proves the filter lost nothing.
     */
   def prefixJaccardPairs(sh0: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
@@ -155,12 +173,13 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .filter(least(col("na"), col("nb")) >=
         ceil(lit(threshold) * greatest(col("na"), col("nb"))))
-    // exact verification on surviving candidates only: (doc, s) equi-joins
+    // exact verification on surviving candidates only, |cands| rows
+    val hsets = docHashSets(sh)
     cands
-      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
+      .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
+      .withColumn("n_common",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -180,8 +199,9 @@ object Dedup {
     * rarity order as the Jaccard prefix, but the larger side cannot be
     * prefixed at all — a tiny doc may sit anywhere inside a huge one,
     * which is also why no length-ratio prune applies). Verification is
-    * the exact (doc, s) equi-join count over surviving candidates. The
-    * brute-force all-pairs oracle proves the filter lost nothing.
+    * the in-row hashed-set intersection over surviving candidates
+    * (see [[docHashSets]]). The brute-force all-pairs oracle proves
+    * the filter lost nothing.
     */
   def prefixContainmentPairs(sh0: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
@@ -205,12 +225,14 @@ object Dedup {
       .select(least(col("pa.doc_id"), col("fb.doc_id")).as("da"),
         greatest(col("pa.doc_id"), col("fb.doc_id")).as("db"))
       .distinct()
+    val hsets = docHashSets(sh)
     cands
-      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
+        col("n").as("na")), Seq("da"))
+      .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
+        col("n").as("nb")), Seq("db"))
+      .withColumn("n_common",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
@@ -256,7 +278,6 @@ object Dedup {
       pairBudgetPerDoc: Long = 128L): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val sh = graft.CacheScope.persist(sh0)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = graft.CacheScope.persist(
       sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
     val nd = sh.agg(countDistinct(col("doc_id")).as("ndocs"))
@@ -282,12 +303,14 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    val hsets = docHashSets(sh)
     cands
-      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
+        col("n").as("na")), Seq("da"))
+      .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
+        col("n").as("nb")), Seq("db"))
+      .withColumn("n_common",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)

@@ -118,6 +118,31 @@ class Round9Spec extends SparkSuite {
     assert(n == 1L)
   }
 
+  test("streaming sessionizer matches batch on sub-millisecond gap boundaries") {
+    import spark.implicits._
+    // two users: gap 1800s + 400µs (new session — but invisible at
+    // millis resolution) and gap exactly 1800s (same session)
+    val base = 1700000000000000L
+    val rows = Seq(
+      (1L, base), (1L, base + 1800000000L + 400L),
+      (2L, base), (2L, base + 1800000000L))
+    val ev = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val batch = graft.streaming.Sessionize.batch(
+        ev.withColumn("event_id", col("user_id")))
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batch == Seq((1L, 1L), (1L, 1L), (2L, 2L)),
+      s"batch sessionizer boundary semantics drifted: $batch")
+    // the streaming handler must agree at micros resolution: user 1's
+    // first session closes (gap > 1800s by 400µs), user 2's never splits
+    val closed = graft.streaming.Sessionize.sessionizeStream(
+        ev.as[graft.streaming.Sessionize.Event])
+      .collect().map(s => (s.user_id, s.n_events)).sorted.toSeq
+    assert(closed == Seq((1L, 1L)),
+      s"streaming sessionizer disagrees with batch at micros resolution: $closed")
+  }
+
   test("GenScale rewrite preserves within-copy pair Jaccard exactly") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val rewritten = docs.withColumn("text", GenScale.rewriteText(1))
