@@ -611,16 +611,32 @@ object CurationQueries {
       val corpus1 = graft.CacheScope.persist(
         corpus0.join(cdrops.unionByName(spanDrops).distinct(),
           Seq("doc_id"), "left_anti"))
-      // stage 3: cluster-level near-dup on the survivors
+      // stage 3: cluster-level near-dup on the survivors. Shingling is
+      // per-document, so shingles(corpus1) ≡ the stage-1 frame filtered
+      // to the survivors — one semi join on the CACHED shC instead of a
+      // second tokenize + explode + distinct over the corpus
+      val sh1 = shC.join(corpus1.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
       val cc = Dedup.connectedComponents(Dedup.lshCandidates(
-        Dedup.minhashSignatures(Dedup.shingles(corpus1)))
+        Dedup.minhashSignatures(sh1))
         .select(col("da"), col("db")))
-      val keepers = Dedup.canonicalPerCluster(corpus1, cc, qualityCol)
-        .select(col("keep_id").as("doc_id"))
+      // keepers persisted: consumed by corpus2 twice (decontamination
+      // profile + final anti join) and by the stage-4 shingle filter
+      val keepers = graft.CacheScope.persist(
+        Dedup.canonicalPerCluster(corpus1, cc, qualityCol)
+          .select(col("keep_id").as("doc_id")))
       val corpus2 = corpus1.join(keepers, "doc_id")
       val bench = docs.where(col("source") === "src0")
-      val clean = Decontaminate.removeContaminated(corpus2, bench,
-        n = 3, rateThreshold = 0.2)
+      // stage 4: decontamination probes the SAME cached shingle frame
+      // (keepers ⊆ corpus1 ⊆ corpus0, so the semi join is exactly
+      // shingles(corpus2)); removal is the same anti join as
+      // Decontaminate.removeContaminated
+      val contaminated = Decontaminate.contaminationFromShingles(
+          shC.join(keepers, Seq("doc_id"), "left_semi"), bench,
+          n = 3, rateThreshold = 0.2)
+        .filter(col("is_contaminated") === 1L)
+        .select(col("doc_id"))
+      val clean = corpus2.join(contaminated, Seq("doc_id"), "left_anti")
       val gated = clean
         .withColumn("keep", TextAnalysis.gopherMetrics(
           10, 1000, 2.0, 10.0, 0.2, 0.2).last)

@@ -822,13 +822,16 @@ object TextQueries {
     * per-source distinct collapses doc-level df first. */
   private val sourceOverlap = Q("q_source_overlap",
     (s, dir) => {
-      val sh = Tables.load(s, dir, "documents")
+      // persisted: sizes and BOTH self-join sides read this derived
+      // lineage — without it the explode+distinct runs three times and
+      // AQE may re-evaluate the self-join sides independently
+      val sh = graft.CacheScope.persist(Tables.load(s, dir, "documents")
         .select(col("source"), TextAnalysis.tokens.as("t"))
         .where(size(col("t")) >= 3)
         .select(col("source"), explode(expr(
           "transform(sequence(0, size(t)-3), i -> array_join(slice(t, i+1, 3), ' '))"))
           .as("s"))
-        .distinct()
+        .distinct())
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("source").as("src_a"), col("s"))
       val b = sh.select(col("source").as("src_b"), col("s"))

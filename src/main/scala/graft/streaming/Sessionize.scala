@@ -55,9 +55,12 @@ object Sessionize {
   final case class Session(user_id: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-  private def fromMicros(us: Long): Timestamp = {
+  // floorDiv, not /: getTime truncates toward zero while getNanos is
+  // always positive, so a pre-1970 timestamp like -0.5 s would come out
+  // +500000 µs under truncating division (mirrors fromMicros below)
+  private[graft] def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+  private[graft] def fromMicros(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
@@ -137,8 +140,15 @@ object Sessionize {
         .find(f => f.getName.endsWith(".parquet")).get
       val dst = new java.io.File(srcDir, f"chunk_$k%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      // pin replay order: distinct mtimes, one minute apart
-      dst.setLastModified(1000000000000L + k * 60000L)
+      // pin replay order: distinct mtimes, one minute apart. The replay
+      // ORDER is correctness-load-bearing (an open session in state
+      // assumes no earlier event can still arrive), so a filesystem
+      // that refuses the mtime rewrite must fail loudly here rather
+      // than let FileStreamSource replay chunks out of order and
+      // silently diverge from the batch oracle.
+      val mtime = 1000000000000L + k * 60000L
+      require(dst.setLastModified(mtime) && dst.lastModified() == mtime,
+        s"cannot pin mtime of ${dst.getName} — ordered replay not guaranteed")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     val stream = spark.readStream

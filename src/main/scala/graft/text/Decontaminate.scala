@@ -34,14 +34,24 @@ object Decontaminate {
     * int (1/0) rather than boolean to keep the oracle comparison
     * engine-neutral. */
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 5,
-      rateThreshold: Double = 0.2): DataFrame = {
-    val trainSh = Dedup.ngrams(train, n)
+      rateThreshold: Double = 0.2): DataFrame =
+    contaminationFromShingles(Dedup.ngrams(train, n), bench, n, rateThreshold)
+
+  /** [[contamination]] with the train side's n-shingles PRECOMPUTED
+    * ((doc_id, s), distinct within each document, as [[Dedup.ngrams]]
+    * emits them) — pipeline compositions that already hold the corpus'
+    * shingle frame (the pretrain ladder shingles once and feeds
+    * containment dedup, near-dup clustering, and decontamination from
+    * the same cached frame) skip the re-tokenize + explode + distinct. */
+  def contaminationFromShingles(trainSh: DataFrame, bench: DataFrame,
+      n: Int = 5, rateThreshold: Double = 0.2): DataFrame = {
+    val ts = trainSh
       .select(col("doc_id"), Scalars.md5Long60(col("s")).as("sh"))
     val benchSh = Dedup.ngrams(bench, n)
       .select(Scalars.md5Long60(col("s")).as("sh"))
       .distinct()
       .withColumn("__hit", lit(1L))
-    trainSh.join(broadcast(benchSh), Seq("sh"), "left")
+    ts.join(broadcast(benchSh), Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))

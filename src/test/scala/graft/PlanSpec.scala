@@ -267,4 +267,62 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  // ------------------------------------------------------------------
+  // Pair-join family shape (perf-load-bearing since r9's rewrite): the
+  // candidate stage must be an EQUI join keyed on the shingle, and
+  // verification must intersect hashed shingle sets IN-ROW — a revert
+  // to the row-join verification (|cands| × doc-length rows, the shape
+  // that spilled 79 GB at sf10x) drops `array_intersect` from the plan
+  // and these fail before the bench does.
+  // ------------------------------------------------------------------
+
+  private def pairPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertPairShape(p: String): Unit = {
+    assert(p.contains("array_intersect"),
+      "verification must be the in-row hashed-set intersection\n" + p.take(1500))
+    // candidate generation is an equi join on the shingle column `s`
+    assert("Join [^\\n]*\\[s#".r.findFirstIn(p).isDefined ||
+      "HashJoin [^\\n]*\\[s#".r.findFirstIn(p).isDefined ||
+      p.contains("hashpartitioning(s#"),
+      "candidate join must be keyed on the shingle\n" + p.take(1500))
+  }
+
+  test("rare-postings jaccard: equi candidate join on s, in-row hashed-set verify") {
+    graft.CacheScope.scoped {
+      val sh = graft.text.Dedup.shingles(
+        graft.sources.Tables.load(spark, sf, "documents"))
+      // budget 0 forces the at-scale path regardless of corpus size
+      val p = pairPlan(graft.text.Dedup.jaccardPairs(sh, 10, 0.5,
+        directPairBudget = 0L))
+      assertPairShape(p)
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
+
+  test("prefix jaccard + exact containment keep the r9 pair shape") {
+    graft.CacheScope.scoped {
+      val sh = graft.text.Dedup.shingles(
+        graft.sources.Tables.load(spark, sf, "documents"))
+      assertPairShape(pairPlan(graft.text.Dedup.prefixJaccardPairs(sh, 0.5)))
+      assertPairShape(pairPlan(graft.text.Dedup.prefixContainmentPairs(sh, 0.9)))
+    }
+  }
+
+  test("capped containment broadcasts its cap/ndocs scalars; candidates stay equi-keyed") {
+    graft.CacheScope.scoped {
+      val sh = graft.text.Dedup.shingles(
+        graft.sources.Tables.load(spark, sf, "documents"))
+      val p = pairPlan(graft.text.Dedup.containmentPairsCapped(sh, 0.9))
+      assertPairShape(p)
+      // the one-row cap frame rides a broadcast nested-loop crossJoin —
+      // the idiomatic scalar join — never a CartesianProduct
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
 }
