@@ -451,11 +451,33 @@ object Dedup {
     * materialized result (the same reason GraphFrames checkpoints its CC
     * loop). The driver loop reads one scalar emptiness probe per round
     * (convergence), never row data.
+    *
+    * Size-adaptive dispatch (same shape as `jaccardPairs`' pair-mass
+    * dispatch): the iterative loop costs ~10 fixed job latencies (init
+    * checkpoint + 3 checkpoints and a convergence probe per round) no
+    * matter how small the graph is, which dominates end-to-end time on
+    * post-LSH candidate graphs — banding emits FAR fewer pairs than
+    * documents. Below `smallGraphMaxEdges` directed edges the component
+    * labels are computed by a driver-side union-find over ONE bounded
+    * collect of the (already persisted, already counted) edge frame;
+    * above it, the distributed loop runs unchanged. Both paths emit the
+    * identical (doc_id, component=min reachable) assignment — pinned
+    * row-for-row by `Round10Spec`. The collect is FENCED: at most
+    * `smallGraphMaxEdges`/2 pairs of two longs (≤64 MB at the default),
+    * decided by an exact count, never by assumption — at 100 TB the
+    * count exceeds the bound and the distributed path runs.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphMaxEdges: Long = 1L << 22): DataFrame = {
     val edges = graft.CacheScope.persist(
       pairs.select(col("da").as("src"), col("db").as("dst"))
         .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    val longKeyed = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    // count doubles as the materialization of the persist the big path
+    // needs anyway (each round's join reads `edges` twice)
+    if (longKeyed && edges.count() <= smallGraphMaxEdges)
+      return unionFindComponents(pairs.sparkSession, edges)
     // initialization folds the first neighbor-min round in for free: one
     // groupBy instead of a join + checkpoint round. Star-shaped clusters
     // (the common LSH case) converge one full round earlier.
@@ -496,6 +518,46 @@ object Dedup {
     // checkpoint RDDs themselves are reclaimed by the ContextCleaner)
     graft.CacheScope.persist(
       labels.select(col("node").as("doc_id"), col("component")))
+  }
+
+  /** Small-graph leg of `connectedComponents`: exact union-find with
+    * path compression over one bounded driver collect, representative =
+    * min node id (identical labeling to the distributed min-label loop).
+    * Output covers every node that appears in an edge, like the
+    * distributed path's `groupBy(src)` over the symmetrized edge list. */
+  private def unionFindComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    // one pass over the persisted frame; src<=dst keeps each pair once
+    // (both orientations are present) while still carrying both
+    // endpoints, and keeps self-loop nodes in the output
+    val rows = edges.where(col("src") <= col("dst")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    var i = 0
+    while (i < rows.length) {
+      val a = rows(i).getLong(0); val b = rows(i).getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union by min: the larger root points at the smaller
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var j = 0
+    while (it.hasNext) { val n = it.next(); out(j) = (n, find(n)); j += 1 }
+    import spark.implicits._
+    graft.CacheScope.persist(
+      spark.createDataset(out.toSeq).toDF("doc_id", "component"))
   }
 
   /** Canonical-keeper selection: one surviving document per duplicate

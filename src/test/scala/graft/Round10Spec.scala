@@ -44,6 +44,39 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("connected components: union-find and distributed min-label paths agree row-for-row") {
+    graft.CacheScope.scoped {
+      import spark.implicits._
+      // two chains, one triangle, a self-loop node, an isolated pair —
+      // covers transitive closure and the edge-list corner cases
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> component 1
+        (10L, 11L), (11L, 12L), (10L, 12L), // triangle -> 10
+        (20L, 20L),                      // self-loop -> singleton 20
+        (30L, 31L)                       // pair -> 30
+      ).toDF("da", "db")
+      val small = Dedup.connectedComponents(pairs)
+      val dist = Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0L)
+      assert(small.count() === 10)
+      assert(small.exceptAll(dist).isEmpty && dist.exceptAll(small).isEmpty,
+        "the two CC paths must emit the identical (doc_id, component) set")
+      assert(small.where(col("component") === 1L).count() === 4)
+    }
+  }
+
+  test("connected components dispatch: small graphs collect, big path still iterates") {
+    graft.CacheScope.scoped {
+      val cand = Dedup.lshCandidates(Dedup.minhashSignatures(
+        Dedup.shingles(docs))).select(col("da"), col("db"))
+      // the sf0.001 candidate graph is far below the 2^22 edge bound —
+      // the real queries take the union-find leg at test scale
+      val auto = Dedup.connectedComponents(cand)
+      val forced = Dedup.connectedComponents(cand, smallGraphMaxEdges = 0L)
+      assert(auto.exceptAll(forced).isEmpty && forced.exceptAll(auto).isEmpty,
+        "dispatch must not change the cluster assignment on a real candidate graph")
+    }
+  }
+
   test("sessionizer micros conversion is exact on both sides of the epoch") {
     import graft.streaming.Sessionize.{fromMicros, micros}
     // -0.5 s: truncating division would yield +500000 µs
