@@ -597,11 +597,10 @@ object CurationQueries {
       val corpus0 = graft.CacheScope.persist(
         docs.where(col("source") =!= "src0"))
       // signal 1: exact containment pairs → drop the smaller side
+      // (withSizes: the pair frame already carries the exact set sizes,
+      // so no re-aggregation of the shingle frame is needed here)
       val shC = graft.CacheScope.persist(Dedup.shingles(corpus0))
-      val csizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cdrops = Dedup.prefixContainmentPairs(shC, 0.9)
-        .join(csizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(csizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      val cdrops = Dedup.prefixContainmentPairs(shC, 0.9, withSizes = true)
         .select(when(col("na") < col("nb"), col("da"))
           .when(col("nb") < col("na"), col("db"))
           .otherwise(greatest(col("da"), col("db"))).as("doc_id"))

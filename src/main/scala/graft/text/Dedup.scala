@@ -256,7 +256,8 @@ object Dedup {
     * (see [[docHashSets]]). The brute-force all-pairs oracle proves
     * the filter lost nothing.
     */
-  def prefixContainmentPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+  def prefixContainmentPairs(sh0: DataFrame, threshold: Double,
+      withSizes: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val sh = graft.CacheScope.persist(sh0)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -289,8 +290,12 @@ object Dedup {
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
-      .select(col("da"), col("db"), col("n_common"),
-        round(col("containment"), 6).as("containment"))
+      .select((Seq(col("da"), col("db"), col("n_common"),
+          round(col("containment"), 6).as("containment")) ++
+        // the exact set sizes are already joined in from the hash-set
+        // frame; exposing them is free and lets callers pick the drop
+        // side without re-aggregating the shingle frame
+        (if (withSizes) Seq(col("na"), col("nb")) else Nil)): _*)
   }
 
   /** Recall-bounded containment pairs with a CORPUS-ADAPTIVE rarity
@@ -463,9 +468,12 @@ object Dedup {
     * above it, the distributed loop runs unchanged. Both paths emit the
     * identical (doc_id, component=min reachable) assignment — pinned
     * row-for-row by `Round10Spec`. The collect is FENCED: at most
-    * `smallGraphMaxEdges`/2 pairs of two longs (≤64 MB at the default),
-    * decided by an exact count, never by assumption — at 100 TB the
-    * count exceeds the bound and the distributed path runs.
+    * `smallGraphMaxEdges`/2 pairs of two longs (≤64 MB at the default)
+    * via a single limit-probe job — if the probe comes back under the
+    * bound it IS the complete pair set (limit only truncates past it),
+    * so the small path pays one job total; past the bound the probe
+    * short-circuits (CollectLimit scans partitions incrementally) and
+    * the distributed path runs — at 100 TB that is always the case.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       smallGraphMaxEdges: Long = 1L << 22): DataFrame = {
@@ -474,10 +482,15 @@ object Dedup {
         .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
     val longKeyed = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    // count doubles as the materialization of the persist the big path
-    // needs anyway (each round's join reads `edges` twice)
-    if (longKeyed && edges.count() <= smallGraphMaxEdges)
-      return unionFindComponents(pairs.sparkSession, edges)
+    if (longKeyed) {
+      // src<=dst keeps each pair once (both orientations are present)
+      // while still carrying both endpoints and self-loop nodes
+      val maxPairs = (smallGraphMaxEdges / 2).toInt
+      val probe = edges.where(col("src") <= col("dst"))
+        .limit(maxPairs + 1).collect()
+      if (probe.length <= maxPairs)
+        return unionFindComponents(pairs.sparkSession, probe)
+    }
     // initialization folds the first neighbor-min round in for free: one
     // groupBy instead of a join + checkpoint round. Star-shaped clusters
     // (the common LSH case) converge one full round earlier.
@@ -521,17 +534,13 @@ object Dedup {
   }
 
   /** Small-graph leg of `connectedComponents`: exact union-find with
-    * path compression over one bounded driver collect, representative =
+    * path compression over the probed pair rows, representative =
     * min node id (identical labeling to the distributed min-label loop).
     * Output covers every node that appears in an edge, like the
     * distributed path's `groupBy(src)` over the symmetrized edge list. */
   private def unionFindComponents(
       spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame): DataFrame = {
-    // one pass over the persisted frame; src<=dst keeps each pair once
-    // (both orientations are present) while still carrying both
-    // endpoints, and keeps self-loop nodes in the output
-    val rows = edges.where(col("src") <= col("dst")).collect()
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
