@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measurement main for the connected-components stage in isolation:
+  * times shingle → MinHash → LSH-banding → CC end-to-end over the
+  * `documents` table of each argument directory, with the CC dispatch
+  * leg pinned via `SPARK_GRAFT_CC_SMALL_MAX` (0 forces the distributed
+  * min-label loop; unset keeps the shipped 2^22 adaptive bound).
+  *
+  * Purpose: a scaling decade whose lo and hi sides fall on OPPOSITE
+  * sides of the adaptive bound conflates the one-time leg switch with
+  * the per-leg scaling slope (the third-decade CC artifact measures
+  * exactly that crossing). Pinning the leg on both sides isolates the
+  * slope a deployment past the boundary would actually ride. Also
+  * prints the directed edge count per side, which is the dispatch
+  * input and the denominator of any per-edge cost argument.
+  *
+  * Output: one JSON line per (dir, rep) plus a final medians line —
+  * same consumption pattern as `Bench`.
+  */
+object CcLegBench {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("target/sf10x", "target/sf100x")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val smallMax = sys.env.get("SPARK_GRAFT_CC_SMALL_MAX").map(_.toLong)
+    val spark = GraftSession.local(GraftSession.envCpus)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val edges = scala.collection.mutable.Map.empty[String, Long]
+    for (rep <- 1 to reps; dir <- dirs) {
+      val t0 = System.nanoTime()
+      val nRows = CacheScope.scoped {
+        val docs = sources.Tables.load(spark, dir, "documents")
+        val pairs = text.Dedup.lshCandidates(
+          text.Dedup.minhashSignatures(text.Dedup.shingles(docs)))
+          .select(col("da"), col("db"))
+        if (rep == 1 && !edges.contains(dir))
+          edges(dir) = 2L * pairs.count() // directed form, the dispatch input
+        val cc = smallMax match {
+          case Some(m) => text.Dedup.connectedComponents(pairs, smallGraphMaxEdges = m)
+          case None    => text.Dedup.connectedComponents(pairs)
+        }
+        cc.count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      times(dir) = times(dir) :+ secs
+      println(f"""{"cc_leg_rep":$rep,"dir":"$dir","rows":$nRows,"secs":$secs%.3f}""")
+      spark.catalog.clearCache()
+    }
+    val med = times.map { case (d, xs) =>
+      val s = xs.sorted; d -> s(s.length / 2)
+    }
+    println("{\"metric\":\"cc_leg_medians\"," +
+      s""""small_max":${smallMax.getOrElse(1L << 22)},""" +
+      s""""reps":$reps,""" +
+      "\"directed_edges\":{" + dirs.map(d => s""""$d":${edges.getOrElse(d, -1L)}""").mkString(",") + "}," +
+      "\"medians\":{" + dirs.map(d => f""""$d":${med(d)}%.3f""").mkString(",") + "}," +
+      "\"per_rep\":{" + dirs.map(d => s""""$d":[${times(d).map(t => f"$t%.3f").mkString(",")}]""").mkString(",") + "}}")
+    spark.stop()
+  }
+}

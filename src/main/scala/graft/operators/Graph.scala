@@ -29,7 +29,10 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame, damping: Double,
       iters: Int): DataFrame = {
     require(iters > 0, "pageRank needs iters > 0")
-    val n = nodes.select(col("node")).distinct()
+    // persisted: the node universe is re-joined every iteration (and
+    // counted once up front) — without it each round re-runs the
+    // distinct shuffle over the node source
+    val n = graft.CacheScope.persist(nodes.select(col("node")).distinct())
     val e = graft.CacheScope.persist(edges.select(col("src"), col("dst")))
     val deg = graft.CacheScope.persist(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
