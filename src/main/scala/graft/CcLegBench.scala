@@ -23,40 +23,50 @@ object CcLegBench {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("target/sf10x", "target/sf100x")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val smallMax = sys.env.get("SPARK_GRAFT_CC_SMALL_MAX").map(_.toLong)
+    // Each mode is a smallGraphMaxEdges value: "adaptive" = the shipped
+    // 2^22 default, an integer pins the bound ("0" forces the
+    // distributed leg). Several comma-separated modes interleave WITHIN
+    // each rep, so a mode-vs-mode comparison shares box conditions —
+    // back-to-back single-mode sessions on this box drift ±25%, which
+    // is larger than the effect being measured (the probe premium).
+    val modes = sys.env.get("SPARK_GRAFT_CC_MODES")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_SMALL_MAX"))
+      .getOrElse("adaptive").split(",").toSeq
+    def bound(mode: String): Long =
+      if (mode == "adaptive") 1L << 22 else mode.toLong
     val spark = GraftSession.local(GraftSession.envCpus)
-    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val times = scala.collection.mutable.Map.empty[(String, String), Vector[Double]]
       .withDefaultValue(Vector.empty)
     val edges = scala.collection.mutable.Map.empty[String, Long]
-    for (rep <- 1 to reps; dir <- dirs) {
+    for (rep <- 1 to reps; dir <- dirs; mode <- modes) {
       val t0 = System.nanoTime()
       val nRows = CacheScope.scoped {
         val docs = sources.Tables.load(spark, dir, "documents")
         val pairs = text.Dedup.lshCandidates(
           text.Dedup.minhashSignatures(text.Dedup.shingles(docs)))
           .select(col("da"), col("db"))
-        if (rep == 1 && !edges.contains(dir))
+        if (!edges.contains(dir))
           edges(dir) = 2L * pairs.count() // directed form, the dispatch input
-        val cc = smallMax match {
-          case Some(m) => text.Dedup.connectedComponents(pairs, smallGraphMaxEdges = m)
-          case None    => text.Dedup.connectedComponents(pairs)
-        }
-        cc.count()
+        text.Dedup.connectedComponents(pairs,
+          smallGraphMaxEdges = bound(mode)).count()
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      times(dir) = times(dir) :+ secs
-      println(f"""{"cc_leg_rep":$rep,"dir":"$dir","rows":$nRows,"secs":$secs%.3f}""")
+      times((dir, mode)) = times((dir, mode)) :+ secs
+      println(f"""{"cc_leg_rep":$rep,"dir":"$dir","mode":"$mode","rows":$nRows,"secs":$secs%.3f}""")
       spark.catalog.clearCache()
     }
-    val med = times.map { case (d, xs) =>
-      val s = xs.sorted; d -> s(s.length / 2)
+    val keys = dirs.flatMap(d => modes.map(m => (d, m)))
+    def label(k: (String, String)) =
+      if (modes.length == 1) k._1 else s"${k._1}#${k._2}"
+    val med = times.map { case (k, xs) =>
+      val s = xs.sorted; k -> s(s.length / 2)
     }
     println("{\"metric\":\"cc_leg_medians\"," +
-      s""""small_max":${smallMax.getOrElse(1L << 22)},""" +
+      s""""modes":[${modes.map(m => s""""$m"""").mkString(",")}],""" +
       s""""reps":$reps,""" +
       "\"directed_edges\":{" + dirs.map(d => s""""$d":${edges.getOrElse(d, -1L)}""").mkString(",") + "}," +
-      "\"medians\":{" + dirs.map(d => f""""$d":${med(d)}%.3f""").mkString(",") + "}," +
-      "\"per_rep\":{" + dirs.map(d => s""""$d":[${times(d).map(t => f"$t%.3f").mkString(",")}]""").mkString(",") + "}}")
+      "\"medians\":{" + keys.map(k => f""""${label(k)}":${med(k)}%.3f""").mkString(",") + "}," +
+      "\"per_rep\":{" + keys.map(k => s""""${label(k)}":[${times(k).map(t => f"$t%.3f").mkString(",")}]""").mkString(",") + "}}")
     spark.stop()
   }
 }
