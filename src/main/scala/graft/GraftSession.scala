@@ -37,6 +37,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Shuffle-file deletion rides the driver's ContextCleaner, which
+      // only fires when driver GC collects the shuffle handles — on a
+      // large heap that can exceed Spark's 30min default periodic-GC
+      // interval, during which a many-query run accumulates tens of GB
+      // of dead shuffle files (a measured 74 GB across one bench rep at
+      // 500k docs). 3min bounds that backlog; the forced GC itself is a
+      // few ms on an idle-tenured heap.
+      .config("spark.cleaner.periodicGC.interval", "3min")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session sized to `cpus` threads — the mains' form. */
