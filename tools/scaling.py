@@ -55,7 +55,7 @@ def main():
     hi = json.load(open(hi_path))
     lo_rep, hi_rep = lo["per_rep"], hi["per_rep"]
     common = sorted(set(lo_rep) & set(hi_rep))
-    ratios, exps, skipped = {}, {}, []
+    ratios, exps, exps_min, skipped = {}, {}, {}, []
     for q in common:
         ml, mh = median(lo_rep[q]), median(hi_rep[q])
         if not ml or not mh:
@@ -64,6 +64,10 @@ def main():
         r = mh / ml
         ratios[q] = round(r, 3)
         exps[q] = round(math.log10(r) / math.log10(ratio), 3)
+        # min-based twin: on load-drifting boxes per-rep minima are the
+        # steadier estimator (PERF.md rounds 9-10); medians stay headline
+        exps_min[q] = round(
+            math.log10(min(hi_rep[q]) / min(lo_rep[q])) / math.log10(ratio), 3)
     fams = {}
     for q, e in exps.items():
         fams.setdefault(family(q), []).append(e)
@@ -78,6 +82,7 @@ def main():
         "skipped": skipped,
         "families": fam_rollup,
         "log10_exponent": exps,
+        "log10_exponent_min": exps_min,
         f"ratio_{ratio:g}x": ratios,
         lo_label: {"total": lo.get("value"), "per_rep": {q: lo_rep[q] for q in common}},
         hi_label: {"total": hi.get("value"), "per_rep": {q: hi_rep[q] for q in common}},
