@@ -787,6 +787,90 @@ object TextQueries {
           AS mostly_dup
       FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"""))
 
+  /** ExactSubstr REMOVAL (the destructive half of `q_dedup_substring`):
+    * duplicated 8-grams elect a min-doc_id keeper; every other document
+    * cuts the covered positions and the cleaned text is reassembled —
+    * removal counts and the clean-text md5 are all hash-checked. */
+  private val spanRemove = Q("q_dedup_span_remove",
+    (s, dir) => Dedup.removeRepeatedSpans(
+      Tables.load(s, dir, "documents"), k = 8),
+    Some(raw"""
+      WITH tk AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      tok AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM tk),
+      g AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+            FROM tok, unnest(CASE WHEN len(t) >= 8
+                                  THEN range(0, len(t) - 7)
+                                  ELSE [] END) AS u(i)),
+      d AS (SELECT g, min(doc_id) AS keeper FROM g GROUP BY g
+            HAVING count(DISTINCT doc_id) > 1),
+      cov AS (SELECT DISTINCT g.doc_id, pos + j AS tp
+              FROM g JOIN d USING (g), unnest(range(0, 8)) AS v(j)
+              WHERE g.doc_id <> d.keeper),
+      cut AS (SELECT doc_id, list(tp) AS cut FROM cov GROUP BY doc_id)
+      SELECT tok.doc_id, n_tokens,
+        CAST(coalesce(len(cut), 0) AS BIGINT) AS n_removed,
+        round(CAST(coalesce(len(cut), 0) AS DOUBLE) / n_tokens, 6)
+          AS removed_frac,
+        md5(coalesce(array_to_string(list_filter(t,
+          (x, i) -> NOT list_contains(coalesce(cut, []), i - 1)), ' '), ''))
+          AS clean_md5
+      FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id"""))
+
+  /** BM25 top-5 retrieval for a fixed 20-query workload (the query
+    * docs' distinct terms) over the posting-list inverted index —
+    * per-term scores follow the lmScore float rule (round 6 dp,
+    * DECIMAL sum) so ranking is order-exact in both engines. */
+  private val bm25 = Q("q_text_bm25",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          explode(TextAnalysis.tokens).as("tok"))
+        .distinct()
+      TextAnalysis.bm25TopK(docs, queries, k = 5)
+    },
+    Some(raw"""
+      WITH toks AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      q AS (SELECT DISTINCT doc_id AS qid, tok
+            FROM toks, unnest(t) AS u(tok) WHERE doc_id < 20),
+      dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY tok),
+      terms AS (SELECT q.qid, tf.doc_id,
+          CAST(round(
+            ln(CAST(1 AS DOUBLE) +
+               (CAST(st.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+               (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            * ((CAST(tf.tf AS DOUBLE) *
+                (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
+               (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) *
+                 (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+          , 6) AS DECIMAL(18,6)) AS ts
+        FROM tf JOIN q USING (tok)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN dfq d ON d.tok = tf.tok
+          CROSS JOIN st
+        WHERE tf.doc_id <> q.qid),
+      sc AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               sum(ts) AS s
+             FROM terms GROUP BY 1, 2),
+      rk AS (SELECT qid, doc_id, n_terms, s,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY s DESC, doc_id) AS rn
+             FROM sc)
+      SELECT qid, doc_id, n_terms, CAST(s AS DOUBLE) AS score
+      FROM rk WHERE rn <= 5"""))
+
   /** BPE-ish tokenizer-fit statistics: the first merge iteration of
     * byte-pair encoding — frequency of adjacent character pairs inside
     * whitespace tokens, top-50 under a total order. At 100 TB this is
@@ -864,6 +948,6 @@ object TextQueries {
     exact, jaccard, minhash, lsh, simhash, simhashPairs, simhashTopM,
     topmRecall, editVerify, lshRecall, lmScore, hashTf, boilerplate,
     tokenHistogram, pmi, prefixJaccard, corpusDrift, containment,
-    containmentRecall, containmentExact, substring, bpePairs,
-    sourceOverlap)
+    containmentRecall, containmentExact, substring, spanRemove, bm25,
+    bpePairs, sourceOverlap)
 }

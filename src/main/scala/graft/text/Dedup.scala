@@ -420,6 +420,56 @@ object Dedup {
           lit(0.5) * col("n_tokens")).as("mostly_dup"))
   }
 
+  /** Cross-document repeated-span REMOVAL — the destructive half of
+    * ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": keep ONE occurrence of each duplicated
+    * span, cut the rest). Every k-token gram occurring in more than one
+    * document elects a keeper (min doc_id); in every other document the
+    * gram's k token positions are cut, and the surviving tokens are
+    * reassembled in order. Output per document: token counts before /
+    * removed, the removed fraction, and the md5 of the cleaned text.
+    *
+    * Dataflow mirrors [[repeatedSpanProfile]] — positional grams, one
+    * gram-keyed groupBy for (cross-doc frequency, keeper), an equi join
+    * back bounded by duplicated occurrences, then ONE per-doc
+    * collect_set of cut positions (bounded by document length, never by
+    * corpus size) and a columnar filter-by-index reassembly — no
+    * all-pairs stage, no corpus-wide window, every shuffle
+    * key-partitioned; the shape is unchanged at 100 TB. */
+  def removeRepeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = graft.CacheScope.persist(
+      docs.select(col("doc_id"), TextAnalysis.tokens.as("t"))
+        .select(col("doc_id"), col("t"),
+          size(col("t")).cast("long").as("n_tokens")))
+    val grams = graft.CacheScope.persist(
+      toks.select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(t) >= $k THEN
+                transform(sequence(0, size(t) - $k),
+                  i -> array_join(slice(t, i + 1, $k), ' '))
+              ELSE array() END""")).as(Seq("pos", "g"))))
+    val keepers = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("nd") > 1)
+      .select(col("g"), col("keeper"))
+    val cuts = grams.join(keepers, Seq("g"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tp")).as("cut"))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut",
+        coalesce(col("cut"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("cut")).cast("long").as("n_removed"),
+        round(size(col("cut")).cast("double") / col("n_tokens"), 6)
+          .as("removed_frac"),
+        md5(expr(
+          "array_join(filter(t, (x, i) -> NOT array_contains(cut, i)), ' ')"))
+          .as("clean_md5"))
+  }
+
   /** Incremental corpus update: dedup a NEW batch against the existing
     * corpus without re-fingerprinting the corpus' documents pairwise —
     * the daily-ingest shape. Within-batch dupes collapse to the min

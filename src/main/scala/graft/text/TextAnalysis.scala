@@ -120,6 +120,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 top-k retrieval over an inverted index — the query-driven
+    * complement of [[tfidfTopTerms]]: given a (small, fixed) query
+    * workload as `(qid, tok)` term sets, rank corpus documents by
+    * Okapi BM25 (Robertson & Walker, SIGIR '94) and keep the top `k`
+    * per query.
+    *
+    * Dataflow at 100 TB: the corpus side is the `(doc, tok, tf)`
+    * posting table (one map-side-combined groupBy); the query side and
+    * its per-term document frequencies are QUERY-VOCABULARY-sized, so
+    * both broadcast — the probe is a broadcast hash join that streams
+    * the postings once and touches only terms a query mentions. The
+    * only corpus-keyed shuffles are the tf/df groupBys and the
+    * per-(qid, doc) score sum; ranking is a WindowGroupLimit over the
+    * candidate rows (partial top-k before the exchange), never a full
+    * sort.
+    *
+    * Float discipline (the [[lmScore]] rule): each per-term score is
+    * one chain of IEEE double ops rounded to 6 dp, summed as
+    * DECIMAL(18,6) so the reduction is order-exact — ranking and the
+    * oracle hash cannot drift with partitioning. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(tokens).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // df restricted to the query vocabulary BEFORE broadcasting: the
+    // broadcast is bounded by |query terms|, not corpus vocabulary.
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .join(broadcast(queries.select(col("tok")).distinct()), Seq("tok"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfc = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val terms = tf.join(broadcast(queries), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        round(idf * tfc, 6).cast("decimal(18,6)").as("term_score"))
+    val scored = terms.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("s"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("s").desc, col("doc_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("doc_id"), col("n_terms"),
+        col("s").cast("double").as("score"))
+  }
+
   /** PII / deny-list scrubbing: replace email + US-phone shapes and a
     * dictionary of sensitive terms, count what was hit. Pure
     * regexp_replace/extract_all — codegen'd, no shuffle, and the

@@ -85,4 +85,79 @@ class Round10Spec extends SparkSuite {
     for (us <- Seq(-1500000L, -500000L, -1L, 0L, 1L, 999999L, 1500000L))
       assert(micros(fromMicros(us)) === us, s"round-trip of $us µs")
   }
+
+  test("span removal: non-keeper loses the duplicated span, keeper keeps everything") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val tiny = Seq(
+        (1L, "a b c d e f g h x"), // keeper of the shared 8-gram
+        (2L, "a b c d e f g h y"), // loses positions 0..7, keeps "y"
+        (3L, "p q r s t u v w z")  // untouched (no cross-doc gram)
+      ).toDF("doc_id", "text")
+      val out = Dedup.removeRepeatedSpans(tiny, k = 8)
+        .select("doc_id", "n_removed", "clean_md5")
+        .as[(Long, Long, String)].collect()
+        .map { case (id, rm, md) => id -> ((rm, md)) }.toMap
+      def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(out(1L) === ((0L, m("a b c d e f g h x"))))
+      assert(out(2L) === ((8L, m("y"))))
+      assert(out(3L) === ((0L, m("p q r s t u v w z"))))
+    }
+  }
+
+  test("span removal never removes more than the span profile marks as covered") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val prof = Dedup.repeatedSpanProfile(docs, k = 8)
+        .select("doc_id", "n_rep_tokens").as[(Long, Long)].collect().toMap
+      val rem = Dedup.removeRepeatedSpans(docs, k = 8)
+        .select("doc_id", "n_removed").as[(Long, Long)].collect()
+      assert(rem.exists(_._2 > 0), "fixture must contain cross-doc spans")
+      rem.foreach { case (id, n) =>
+        assert(n <= prof(id), s"doc $id removed $n > covered ${prof(id)}")
+      }
+    }
+  }
+
+  test("bm25: top-k per query, no self-retrieval, rare term ranks its doc first") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val tiny = Seq(
+        (0L, "zzz aaa"),           // the query document
+        (1L, "zzz bbb ccc"),       // shares the rare term zzz
+        (2L, "bbb ccc ddd aaa"),   // shares only common terms
+        (3L, "bbb ccc ddd"),
+        (4L, "bbb ccc ddd eee"),
+        (5L, "aaa bbb ccc ddd")
+      ).toDF("doc_id", "text")
+      val queries = tiny.filter(col("doc_id") === 0L)
+        .select(col("doc_id").as("qid"),
+          explode(graft.text.TextAnalysis.tokens).as("tok")).distinct()
+      val top = graft.text.TextAnalysis.bm25TopK(tiny, queries, k = 3)
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+        .select("qid", "doc_id", "score").as[(Long, Long, Double)].collect()
+      assert(top.length === 3)
+      assert(top.forall { case (q, d, _) => q == 0L && d != 0L })
+      assert(top.head._2 === 1L,
+        s"doc sharing the rare query term must rank first, got ${top.toSeq}")
+      assert(top.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("bm25 over the fixture: bounded rows per query and deterministic") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      def run() = {
+        val queries = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"),
+            explode(graft.text.TextAnalysis.tokens).as("tok")).distinct()
+        graft.text.TextAnalysis.bm25TopK(docs, queries, k = 5)
+      }
+      val a = run()
+      val perQ = a.groupBy(col("qid")).count().as[(Long, Long)].collect()
+      assert(perQ.nonEmpty && perQ.forall(_._2 <= 5))
+      assert(a.exceptAll(run()).isEmpty, "ranking must be run-deterministic")
+    }
+  }
 }
