@@ -325,4 +325,32 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), p.take(1200))
     }
   }
+
+  test("bm25: query side broadcasts, ranking is a group-limit, no cartesian") {
+    graft.CacheScope.scoped {
+      val p = planOf("q_text_bm25")
+      // the (qid, tok) term sets and the query-vocab df frame both ride
+      // broadcast hash joins against the posting table; the corpus side
+      // never shuffles on the query key
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      // top-k per query prunes before the exchange (WindowGroupLimit),
+      // never a full corpus sort
+      assert(p.contains("WindowGroupLimit"), p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
+
+  test("span removal: gram-keyed equi joins, in-row positional cut, no cartesian") {
+    graft.CacheScope.scoped {
+      val p = planOf("q_dedup_span_remove")
+      // the cut is applied IN-ROW via filter+array_contains over the
+      // collected positions — a revert to a per-token row join would
+      // drop array_contains and explode the verification row count
+      assert(p.contains("array_contains"), p.take(1500))
+      assert(p.contains("hashpartitioning(g#") ||
+        "Join [^\\n]*\\[g#".r.findFirstIn(p).isDefined,
+        "keeper join must be keyed on the gram\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
 }
