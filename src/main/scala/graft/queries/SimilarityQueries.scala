@@ -515,7 +515,60 @@ object SimilarityQueries {
           ELSE list_inner_product(e, e) / (nrm * nrm) END, 6) AS unit_check
       FROM p"""))
 
+  /** Hybrid retrieval: Reciprocal Rank Fusion of the lexical BM25 leg
+    * (documents) and the exact-cosine vector leg (embeddings) for the
+    * shared query ids 0–4 — the fixtures key both tables in one id
+    * space, modeling a corpus with per-document embeddings. Each leg is
+    * top-20-bounded per query, so fusion work is workload-sized. */
+  private val hybridRrf = Q("q_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(graft.text.TextAnalysis.tokens).as("tok"))
+        .distinct()
+      val lex = graft.text.TextAnalysis.bm25TopK(docs, queries, k = 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val vec = Knn.bruteForceTopK(emb, col("vec_id") < 5, k = 20)
+        .select(col("qid"), col("cid").as("id"), col("rank"))
+      graft.similarity.Hybrid.rrfFuse(Seq(lex, vec), k0 = 60, topK = 10)
+    },
+    Some("WITH " + TextQueries.bm25Ctes("doc_id < 5") + raw""",
+      p AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings),
+      vq AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM p
+             WHERE vec_id < 5),
+      vc AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM p),
+      vr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY list_inner_product(qe, ce) / (qn * cn) DESC, cid)
+               AS rank
+             FROM vc, vq WHERE qid <> cid),
+      lex AS (SELECT qid, doc_id AS id, rn AS rank FROM rk WHERE rn <= 20),
+      vec AS (SELECT qid, cid AS id, rank FROM vr WHERE rank <= 20),
+      u AS (SELECT qid, id,
+              CAST(round(CAST(1 AS DOUBLE) /
+                (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS t
+            FROM lex
+            UNION ALL
+            SELECT qid, id,
+              CAST(round(CAST(1 AS DOUBLE) /
+                (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)), 6)
+                AS DECIMAL(18,6))
+            FROM vec),
+      f AS (SELECT qid, id, CAST(count(*) AS BIGINT) AS n_legs,
+              sum(t) AS rrf
+            FROM u GROUP BY 1, 2),
+      r AS (SELECT qid, id, n_legs, rrf,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY rrf DESC, id) AS rn2
+            FROM f)
+      SELECT qid, id, n_legs, CAST(rrf AS DOUBLE) AS rrf
+      FROM r WHERE rn2 <= 10"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
     hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf, pqRecall,
-    embNormalize)
+    embNormalize, hybridRrf)
 }

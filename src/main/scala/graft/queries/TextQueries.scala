@@ -818,21 +818,11 @@ object TextQueries {
           AS clean_md5
       FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id"""))
 
-  /** BM25 top-5 retrieval for a fixed 20-query workload (the query
-    * docs' distinct terms) over the posting-list inverted index —
-    * per-term scores follow the lmScore float rule (round 6 dp,
-    * DECIMAL sum) so ranking is order-exact in both engines. */
-  private val bm25 = Q("q_text_bm25",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val queries = docs.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("qid"),
-          explode(TextAnalysis.tokens).as("tok"))
-        .distinct()
-      TextAnalysis.bm25TopK(docs, queries, k = 5)
-    },
-    Some(raw"""
-      WITH toks AS (SELECT doc_id,
+  /** The BM25 oracle CTE chain (caller prepends `WITH ` and appends a
+    * final SELECT over `rk(qid, doc_id, n_terms, s, rn)`), shared with
+    * the hybrid-RRF fixture so the lexical leg cannot drift. */
+  private[queries] def bm25Ctes(qidPred: String): String = raw"""
+      toks AS (SELECT doc_id,
           string_split_regex(lower(trim(text)), '\s+') AS t
         FROM documents),
       tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -841,7 +831,7 @@ object TextQueries {
       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
       q AS (SELECT DISTINCT doc_id AS qid, tok
-            FROM toks, unnest(t) AS u(tok) WHERE doc_id < 20),
+            FROM toks, unnest(t) AS u(tok) WHERE $qidPred),
       dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
               FROM tf GROUP BY tok),
       terms AS (SELECT q.qid, tf.doc_id,
@@ -867,8 +857,23 @@ object TextQueries {
       rk AS (SELECT qid, doc_id, n_terms, s,
                row_number() OVER (PARTITION BY qid
                  ORDER BY s DESC, doc_id) AS rn
-             FROM sc)
-      SELECT qid, doc_id, n_terms, CAST(s AS DOUBLE) AS score
+             FROM sc)"""
+
+  /** BM25 top-5 retrieval for a fixed 20-query workload (the query
+    * docs' distinct terms) over the posting-list inverted index —
+    * per-term scores follow the lmScore float rule (round 6 dp,
+    * DECIMAL sum) so ranking is order-exact in both engines. */
+  private val bm25 = Q("q_text_bm25",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"),
+          explode(TextAnalysis.tokens).as("tok"))
+        .distinct()
+      TextAnalysis.bm25TopK(docs, queries, k = 5)
+    },
+    Some("WITH " + bm25Ctes("doc_id < 20") + raw"""
+      SELECT qid, doc_id, n_terms, rn AS rank, CAST(s AS DOUBLE) AS score
       FROM rk WHERE rn <= 5"""))
 
   /** BPE-ish tokenizer-fit statistics: the first merge iteration of

@@ -172,6 +172,7 @@ object TextAnalysis {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("doc_id"), col("n_terms"),
+        col("__rn").cast("long").as("rank"),
         col("s").cast("double").as("score"))
   }
 

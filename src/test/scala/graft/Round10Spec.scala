@@ -145,6 +145,37 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("rrf fusion: overlap outranks single-leg hits, ties break on id") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("qid", "id", "rank")
+      val vec = Seq((0L, 10L, 1L), (0L, 12L, 2L)).toDF("qid", "id", "rank")
+      val out = graft.similarity.Hybrid.rrfFuse(Seq(lex, vec), k0 = 60, topK = 10)
+        .orderBy(col("rrf").desc, col("id"))
+        .select("id", "n_legs", "rrf").as[(Long, Long, Double)].collect()
+      assert(out.map(_._1).toSeq === Seq(10L, 11L, 12L),
+        s"doc in both legs first, then the rank-2 tie by id: ${out.toSeq}")
+      assert(out.head._2 === 2L && out(1)._2 === 1L)
+      // 2 × round(1/61, 6) vs round(1/62, 6), DECIMAL-exact
+      assert(math.abs(out.head._3 - 0.032786) < 1e-9)
+      assert(out(1)._3 === out(2)._3)
+    }
+  }
+
+  test("hybrid rrf over the fixtures: bounded per query, legs counted honestly") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+      val rows = df.select("qid", "id", "n_legs").as[(Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      val perQ = rows.groupBy(_._1).view.mapValues(_.length)
+      assert(perQ.values.forall(_ <= 10))
+      assert(rows.forall { case (_, _, n) => n == 1L || n == 2L })
+      assert(rows.exists(_._3 == 2L),
+        "id-aligned fixtures must produce at least one both-leg candidate")
+    }
+  }
+
   test("bm25 over the fixture: bounded rows per query and deterministic") {
     import spark.implicits._
     graft.CacheScope.scoped {
