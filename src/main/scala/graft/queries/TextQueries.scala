@@ -793,7 +793,9 @@ object TextQueries {
     * removal counts and the clean-text md5 are all hash-checked. */
   private val spanRemove = Q("q_dedup_span_remove",
     (s, dir) => Dedup.removeRepeatedSpans(
-      Tables.load(s, dir, "documents"), k = 8),
+        Tables.load(s, dir, "documents"), k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("removed_frac"), md5(col("clean_text")).as("clean_md5")),
     Some(raw"""
       WITH tk AS (SELECT doc_id,
           string_split_regex(lower(trim(text)), '\s+') AS t

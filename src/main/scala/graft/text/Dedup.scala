@@ -427,7 +427,9 @@ object Dedup {
     * document elects a keeper (min doc_id); in every other document the
     * gram's k token positions are cut, and the surviving tokens are
     * reassembled in order. Output per document: token counts before /
-    * removed, the removed fraction, and the md5 of the cleaned text.
+    * removed, the removed fraction, and the cleaned text itself (the
+    * pipeline consumes the text; the registered query hashes it for
+    * the oracle gate).
     *
     * Dataflow mirrors [[repeatedSpanProfile]] — positional grams, one
     * gram-keyed groupBy for (cross-doc frequency, keeper), an equi join
@@ -465,9 +467,8 @@ object Dedup {
         size(col("cut")).cast("long").as("n_removed"),
         round(size(col("cut")).cast("double") / col("n_tokens"), 6)
           .as("removed_frac"),
-        md5(expr(
-          "array_join(filter(t, (x, i) -> NOT array_contains(cut, i)), ' ')"))
-          .as("clean_md5"))
+        expr("array_join(filter(t, (x, i) -> NOT array_contains(cut, i)), ' ')")
+          .as("clean_text"))
   }
 
   /** Incremental corpus update: dedup a NEW batch against the existing

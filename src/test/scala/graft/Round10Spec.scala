@@ -95,14 +95,51 @@ class Round10Spec extends SparkSuite {
         (3L, "p q r s t u v w z")  // untouched (no cross-doc gram)
       ).toDF("doc_id", "text")
       val out = Dedup.removeRepeatedSpans(tiny, k = 8)
-        .select("doc_id", "n_removed", "clean_md5")
+        .select("doc_id", "n_removed", "clean_text")
         .as[(Long, Long, String)].collect()
-        .map { case (id, rm, md) => id -> ((rm, md)) }.toMap
-      def m(s: String) = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      assert(out(1L) === ((0L, m("a b c d e f g h x"))))
-      assert(out(2L) === ((8L, m("y"))))
-      assert(out(3L) === ((0L, m("p q r s t u v w z"))))
+        .map { case (id, rm, txt) => id -> ((rm, txt)) }.toMap
+      assert(out(1L) === ((0L, "a b c d e f g h x")))
+      assert(out(2L) === ((8L, "y")))
+      assert(out(3L) === ((0L, "p q r s t u v w z")))
+    }
+  }
+
+  test("span removal matches an independent reference on a randomized phrase corpus") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      // corpora assembled from a shared phrase pool so cross-doc 8-gram
+      // duplication — including overlapping spans with different
+      // keepers — actually occurs
+      val rnd = new scala.util.Random(42)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+        "zeta", "eta", "theta")
+      val phrases = Vector.fill(12)(
+        Vector.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val corpus = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(3)(phrases(rnd.nextInt(phrases.size))).mkString(" "))
+      }
+      val out = Dedup.removeRepeatedSpans(corpus.toDF("doc_id", "text"), k = 8)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      // plain-Scala reference of the declared semantics
+      val tok = corpus.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toVector }.toMap
+      val occ = for {
+        (id, t) <- tok.toSeq; i <- 0 to t.size - 8
+      } yield (t.slice(i, i + 8).mkString(" "), id, i)
+      val keeper = occ.groupBy(_._1)
+        .filter { case (_, os) => os.map(_._2).distinct.size > 1 }
+        .map { case (g, os) => g -> os.map(_._2).min }
+      val cut = occ
+        .filter { case (g, id, _) => keeper.get(g).exists(_ != id) }
+        .flatMap { case (_, id, i) => (i until i + 8).map(id -> _) }
+        .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+      tok.foreach { case (id, t) =>
+        val want = t.zipWithIndex.collect {
+          case (x, i) if !cut.getOrElse(id, Set.empty[Int]).contains(i) => x
+        }.mkString(" ")
+        assert(out(id) === want, s"doc $id diverges from the reference")
+      }
+      assert(cut.nonEmpty, "fixture must exercise actual removals")
     }
   }
 
