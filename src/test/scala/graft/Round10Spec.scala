@@ -182,6 +182,61 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("bm25 matches an independent reference on a randomized corpus") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val rnd = new scala.util.Random(7)
+      val vocab = Vector.tabulate(30)(i => s"w$i")
+      val corpus = (0 until 50).map { i =>
+        (i.toLong,
+          Vector.fill(20 + rnd.nextInt(21))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val queries = df.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          explode(graft.text.TextAnalysis.tokens).as("tok")).distinct()
+      val got = graft.text.TextAnalysis.bm25TopK(df, queries, k = 5)
+        .select("qid", "doc_id", "rank", "score")
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (q, d, r, s) => (q, r) -> ((d, s)) }.toMap
+      // plain-Scala reference with the same 6-dp-then-exact-sum rule
+      val toks = corpus.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toVector }.toMap
+      val n = toks.size.toLong
+      val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+      val dfreq = toks.values.flatMap(_.distinct).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val want = (0L until 3L).map { qid =>
+        val terms = toks(qid).distinct
+        val scored = toks.keys.filter(_ != qid).flatMap { d =>
+          val tf = toks(d).groupBy(identity).map { case (t, xs) => t -> xs.size }
+          val parts = terms.flatMap { t =>
+            tf.get(t).map { f =>
+              val idf = math.log(1.0 +
+                ((n - dfreq(t)).toDouble + 0.5) / (dfreq(t).toDouble + 0.5))
+              val tfc = (f.toDouble * (1.2 + 1.0)) /
+                (f.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * (toks(d).size / avgdl)))
+              r6(idf * tfc)
+            }
+          }
+          if (parts.isEmpty) None else Some(d -> parts.sum)
+        }.toSeq
+        qid -> scored.sortBy { case (d, s) => (-s, d) }.take(5)
+      }
+      want.foreach { case (qid, top) =>
+        top.zipWithIndex.foreach { case ((d, s), i) =>
+          val (gd, gs) = got((qid, (i + 1).toLong))
+          assert(gd === d, s"qid=$qid rank=${i + 1}: got doc $gd want $d")
+          assert(math.abs(gs - s.toDouble) < 1e-9,
+            s"qid=$qid doc=$d: score $gs vs ${s.toDouble}")
+        }
+      }
+    }
+  }
+
   test("rrf fusion: overlap outranks single-leg hits, ties break on id") {
     import spark.implicits._
     graft.CacheScope.scoped {
