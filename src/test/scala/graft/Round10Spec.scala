@@ -254,6 +254,42 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("rrf fusion matches an independent reference on randomized legs") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val rnd = new scala.util.Random(11)
+      def leg(): Seq[(Long, Long, Long)] = for {
+        q <- 0L until 4L
+        (id, r) <- rnd.shuffle((0L until 30L).toList).take(12).zipWithIndex
+      } yield (q, id, (r + 1).toLong)
+      val a = leg(); val b = leg()
+      val got = graft.similarity.Hybrid.rrfFuse(
+          Seq(a.toDF("qid", "id", "rank"), b.toDF("qid", "id", "rank")),
+          k0 = 60, topK = 8)
+        .select("qid", "id", "n_legs", "rrf")
+        .as[(Long, Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(r => (-r._4, r._2)).map(r => (r._2, r._3, r._4)).toSeq }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val want = (0L until 4L).map { q =>
+        val terms = (a ++ b).collect { case (`q`, id, r) =>
+          id -> r6(1.0 / (60.0 + r.toDouble)) }
+        q -> terms.groupBy(_._1)
+          .map { case (id, ts) => (id, ts.size.toLong, ts.map(_._2).sum) }
+          .toSeq.sortBy { case (id, _, s) => (-s, id) }.take(8)
+          .map { case (id, n, s) => (id, n, s.toDouble) }
+      }.toMap
+      want.foreach { case (q, exp) =>
+        val g = got(q)
+        assert(g.map(t => (t._1, t._2)) === exp.map(t => (t._1, t._2)),
+          s"qid=$q fused order/legs diverge: $g vs $exp")
+        g.zip(exp).foreach { case ((_, _, gs), (_, _, es)) =>
+          assert(math.abs(gs - es) < 1e-9) }
+      }
+    }
+  }
+
   test("hybrid rrf over the fixtures: bounded per query, legs counted honestly") {
     import spark.implicits._
     graft.CacheScope.scoped {
