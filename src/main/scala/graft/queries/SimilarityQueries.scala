@@ -568,7 +568,52 @@ object SimilarityQueries {
       SELECT qid, id, n_legs, CAST(rrf AS DOUBLE) AS rrf
       FROM r WHERE rn2 <= 10"""))
 
+  /** Cross-modality dedup agreement audit: which near-dup PAIRS does
+    * the lexical signal (exact Jaccard ≥ 0.5 over 3-shingles) find vs
+    * the embedding signal (bucketed cosine ≥ 0.30) — the governance
+    * query run before trusting either signal alone to delete data.
+    * Text pairs are restricted to the id universe that HAS embeddings
+    * (a pair is only classifiable where both signals exist); the join
+    * of the two pair sets is a full outer on (da, db) — both sides are
+    * near-dup-sized, not corpus-sized, so the audit costs what the two
+    * generators cost. */
+  private val modalityAgreement = Q("q_dedup_modality_agreement",
+    (s, dir) => graft.similarity.Hybrid.modalityAgreement(
+      Tables.load(s, dir, "documents"),
+      Tables.load(s, dir, "embeddings")),
+    Some(TextQueries.shCte + s""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      jp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+             FROM sh a JOIN sh b USING (s)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      tp AS (SELECT da, db,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+             FROM jp
+             JOIN sizes sa ON da = sa.doc_id
+             JOIN sizes sb ON db = sb.doc_id
+             WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+               AND da IN (SELECT vec_id FROM embeddings)
+               AND db IN (SELECT vec_id FROM embeddings)),
+      p AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings),
+      pb AS (SELECT vec_id, e, nrm, ${bucketSql(8)} AS bucket FROM p),
+      ep AS (SELECT va AS da, vb AS db, round(cos, 6) AS cos_r FROM (
+               SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+               FROM pb a JOIN pb b ON a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id)
+             WHERE cos >= 0.30)
+      SELECT coalesce(tp.da, ep.da) AS da, coalesce(tp.db, ep.db) AS db,
+        tp.jaccard IS NOT NULL AS in_text,
+        ep.cos_r IS NOT NULL AS in_emb,
+        tp.jaccard, ep.cos_r,
+        CASE WHEN tp.jaccard IS NOT NULL AND ep.cos_r IS NOT NULL THEN 'both'
+             WHEN tp.jaccard IS NOT NULL THEN 'text_only'
+             ELSE 'emb_only' END AS signal
+      FROM tp FULL OUTER JOIN ep ON tp.da = ep.da AND tp.db = ep.db"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
     hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf, pqRecall,
-    embNormalize, hybridRrf)
+    embNormalize, hybridRrf, modalityAgreement)
 }

@@ -13,7 +13,7 @@ object TextQueries {
 
   /** Shared DuckDB CTE: distinct word 3-shingles (1-based list indexing
     * mirrors the Spark 0-based `transform(sequence(0, size-3), …)`). */
-  private val shCte = raw"""
+  private[queries] val shCte = raw"""
       WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                     FROM documents),
       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s

@@ -25,6 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object Hybrid {
 
+  /** Cross-modality dedup agreement: full-outer-join the lexical
+    * near-dup pairs (exact Jaccard ≥ `jaccardThreshold` over
+    * 3-shingles) with the embedding near-dup pairs (bucketed cosine ≥
+    * `cosThreshold`) over the id universe that has BOTH signals, and
+    * classify each pair `both` / `text_only` / `emb_only`. Both sides
+    * are near-dup-sized, so the audit costs what the generators cost. */
+  def modalityAgreement(docs: DataFrame, emb: DataFrame,
+      jaccardThreshold: Double = 0.5, cosThreshold: Double = 0.30,
+      nBits: Int = 8): DataFrame = {
+    val ids = graft.CacheScope.persist(
+      docs.select(col("doc_id").as("id"))
+        .join(emb.select(col("vec_id").as("id")), Seq("id"), "left_semi"))
+    val text = graft.text.Dedup.prefixJaccardPairs(
+        graft.text.Dedup.shingles(docs), threshold = jaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .join(ids.select(col("id").as("da")), Seq("da"), "left_semi")
+      .join(ids.select(col("id").as("db")), Seq("db"), "left_semi")
+    val vec = Knn.similarPairs(emb, nBits = nBits, threshold = cosThreshold)
+      .select(col("va").as("da"), col("vb").as("db"), col("cos_r"))
+    text.join(vec, Seq("da", "db"), "full_outer")
+      .select(col("da"), col("db"),
+        col("jaccard").isNotNull.as("in_text"),
+        col("cos_r").isNotNull.as("in_emb"),
+        col("jaccard"), col("cos_r"),
+        when(col("jaccard").isNotNull && col("cos_r").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text_only")
+          .otherwise("emb_only").as("signal"))
+  }
+
   /** Fuse ranked lists `(qid, id, rank)` → top `topK` per query as
     * `(qid, id, n_legs, rrf)`; ties break on id. */
   def rrfFuse(legs: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {

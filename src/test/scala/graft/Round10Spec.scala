@@ -304,6 +304,37 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("modality agreement classifies both / text_only / emb_only correctly") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val tinyDocs = Seq(
+        (1L, "a b c d e f"), (2L, "a b c d e g"), // jaccard 0.6 pair
+        (3L, "p q r s t u"), (4L, "p q r s t v"), // jaccard 0.6 pair
+        (5L, "m n o x y z"), (6L, "h i j k l w")  // no shared shingle
+      ).toDF("doc_id", "text")
+      def vec(head8: Float, tail: (Int, Float)*): Array[Float] = {
+        val a = Array.fill(64)(0f)
+        (0 until 8).foreach(i => a(i) = head8)
+        tail.foreach { case (i, v) => a(i) = v }
+        a
+      }
+      val tinyEmb = Seq(
+        // 1↔2: same sign bucket, cos≈1 → emb pair (and a text pair: both)
+        (1L, vec(1f)), (2L, vec(1f, 8 -> 0.3f)),
+        // 3↔4: same bucket 0, orthogonal one-hots → NOT an emb pair
+        (3L, vec(0f, 8 -> 1f)), (4L, vec(0f, 9 -> 1f)),
+        // 5↔6: same bucket as 1/2, parallel → emb-only pair
+        (5L, vec(1f, 10 -> 0.5f)), (6L, vec(1f, 10 -> 0.5f))
+      ).toDF("vec_id", "embedding")
+      val out = graft.similarity.Hybrid.modalityAgreement(tinyDocs, tinyEmb)
+        .select("da", "db", "signal").as[(Long, Long, String)].collect()
+        .map { case (a, b, s) => (a, b) -> s }.toMap
+      assert(out((1L, 2L)) === "both")
+      assert(out((3L, 4L)) === "text_only")
+      assert(out((5L, 6L)) === "emb_only")
+    }
+  }
+
   test("bm25 over the fixture: bounded rows per query and deterministic") {
     import spark.implicits._
     graft.CacheScope.scoped {
