@@ -572,11 +572,12 @@ object SimilarityQueries {
     * the lexical signal (exact Jaccard ≥ 0.5 over 3-shingles) find vs
     * the embedding signal (bucketed cosine ≥ 0.30) — the governance
     * query run before trusting either signal alone to delete data.
-    * Text pairs are restricted to the id universe that HAS embeddings
-    * (a pair is only classifiable where both signals exist); the join
-    * of the two pair sets is a full outer on (da, db) — both sides are
-    * near-dup-sized, not corpus-sized, so the audit costs what the two
-    * generators cost. */
+    * BOTH pair legs are restricted to the id universe carrying BOTH
+    * signals (text pairs to ids that have embeddings, embedding pairs
+    * to ids that have documents — a pair is only classifiable where
+    * both signals exist); the join of the two pair sets is a full
+    * outer on (da, db) — both sides are near-dup-sized, not
+    * corpus-sized, so the audit costs what the two generators cost. */
   private val modalityAgreement = Q("q_dedup_modality_agreement",
     (s, dir) => graft.similarity.Hybrid.modalityAgreement(
       Tables.load(s, dir, "documents"),
@@ -603,7 +604,9 @@ object SimilarityQueries {
                  list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
                FROM pb a JOIN pb b ON a.bucket = b.bucket
                  AND a.vec_id < b.vec_id)
-             WHERE cos >= 0.30)
+             WHERE cos >= 0.30
+               AND va IN (SELECT doc_id FROM documents)
+               AND vb IN (SELECT doc_id FROM documents))
       SELECT coalesce(tp.da, ep.da) AS da, coalesce(tp.db, ep.db) AS db,
         tp.jaccard IS NOT NULL AS in_text,
         ep.cos_r IS NOT NULL AS in_emb,

@@ -781,8 +781,9 @@ object TextQueries {
               FROM cov GROUP BY doc_id)
       SELECT tok.doc_id, n_tokens,
         coalesce(n_rep, 0) AS n_rep_tokens,
-        round(CAST(coalesce(n_rep, 0) AS DOUBLE) / n_tokens, 6)
-          AS rep_frac,
+        CASE WHEN n_tokens > 0
+             THEN round(CAST(coalesce(n_rep, 0) AS DOUBLE) / n_tokens, 6)
+             ELSE 0.0 END AS rep_frac,
         CAST(coalesce(n_rep, 0) AS DOUBLE) >= 0.5 * n_tokens
           AS mostly_dup
       FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id"""))
@@ -813,8 +814,9 @@ object TextQueries {
       cut AS (SELECT doc_id, list(tp) AS cut FROM cov GROUP BY doc_id)
       SELECT tok.doc_id, n_tokens,
         CAST(coalesce(len(cut), 0) AS BIGINT) AS n_removed,
-        round(CAST(coalesce(len(cut), 0) AS DOUBLE) / n_tokens, 6)
-          AS removed_frac,
+        CASE WHEN n_tokens > 0
+             THEN round(CAST(coalesce(len(cut), 0) AS DOUBLE) / n_tokens, 6)
+             ELSE 0.0 END AS removed_frac,
         md5(coalesce(array_to_string(list_filter(t,
           (x, i) -> NOT list_contains(coalesce(cut, []), i - 1)), ' '), ''))
           AS clean_md5

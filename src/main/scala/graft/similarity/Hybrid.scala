@@ -29,8 +29,12 @@ object Hybrid {
     * near-dup pairs (exact Jaccard ≥ `jaccardThreshold` over
     * 3-shingles) with the embedding near-dup pairs (bucketed cosine ≥
     * `cosThreshold`) over the id universe that has BOTH signals, and
-    * classify each pair `both` / `text_only` / `emb_only`. Both sides
-    * are near-dup-sized, so the audit costs what the generators cost. */
+    * classify each pair `both` / `text_only` / `emb_only`. BOTH legs
+    * are semi-joined to the doc∩emb id set — a pair is only
+    * classifiable where both signals exist, so an embedding pair whose
+    * id lacks text (or a text pair whose id lacks a vector) is dropped
+    * rather than misfiled as `*_only`. Both sides are near-dup-sized,
+    * so the audit costs what the generators cost. */
   def modalityAgreement(docs: DataFrame, emb: DataFrame,
       jaccardThreshold: Double = 0.5, cosThreshold: Double = 0.30,
       nBits: Int = 8): DataFrame = {
@@ -44,6 +48,8 @@ object Hybrid {
       .join(ids.select(col("id").as("db")), Seq("db"), "left_semi")
     val vec = Knn.similarPairs(emb, nBits = nBits, threshold = cosThreshold)
       .select(col("va").as("da"), col("vb").as("db"), col("cos_r"))
+      .join(ids.select(col("id").as("da")), Seq("da"), "left_semi")
+      .join(ids.select(col("id").as("db")), Seq("db"), "left_semi")
     text.join(vec, Seq("da", "db"), "full_outer")
       .select(col("da"), col("db"),
         col("jaccard").isNotNull.as("in_text"),

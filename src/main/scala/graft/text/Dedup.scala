@@ -414,22 +414,30 @@ object Dedup {
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_rep_tokens"), lit(0L)).as("n_rep_tokens"),
-        round(coalesce(col("n_rep_tokens"), lit(0L)).cast("double") /
-          col("n_tokens"), 6).as("rep_frac"),
+        // zero-token guard: see removeRepeatedSpans — Spark NULL vs
+        // DuckDB NaN/inf on a 0/0 row would diverge at the oracle.
+        when(col("n_tokens") > 0,
+            round(coalesce(col("n_rep_tokens"), lit(0L)).cast("double") /
+              col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("rep_frac"),
         (coalesce(col("n_rep_tokens"), lit(0L)).cast("double") >=
           lit(0.5) * col("n_tokens")).as("mostly_dup"))
   }
 
   /** Cross-document repeated-span REMOVAL — the destructive half of
-    * ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
-    * Language Models Better": keep ONE occurrence of each duplicated
-    * span, cut the rest). Every k-token gram occurring in more than one
-    * document elects a keeper (min doc_id); in every other document the
-    * gram's k token positions are cut, and the surviving tokens are
-    * reassembled in order. Output per document: token counts before /
-    * removed, the removed fraction, and the cleaned text itself (the
-    * pipeline consumes the text; the registered query hashes it for
-    * the oracle gate).
+    * ExactSubstr dedup (in the spirit of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"). Every k-token gram
+    * occurring in more than one document elects a keeper (min doc_id);
+    * in every other document the gram's k token positions are cut, and
+    * the surviving tokens are reassembled in order. Fidelity scope vs
+    * the paper: the keeper DOCUMENT retains every occurrence of the
+    * span (not just one), and spans repeated only WITHIN a single
+    * document are never cut — this is cross-document span removal, a
+    * deliberately coarser granularity than the paper's suffix-array
+    * single-occurrence guarantee. Output per document: token counts
+    * before / removed, the removed fraction, and the cleaned text
+    * itself (the pipeline consumes the text; the registered query
+    * hashes it for the oracle gate).
     *
     * Dataflow mirrors [[repeatedSpanProfile]] — positional grams, one
     * gram-keyed groupBy for (cross-doc frequency, keeper), an equi join
@@ -465,8 +473,12 @@ object Dedup {
         coalesce(col("cut"), expr("CAST(array() AS ARRAY<INT>)")))
       .select(col("doc_id"), col("n_tokens"),
         size(col("cut")).cast("long").as("n_removed"),
-        round(size(col("cut")).cast("double") / col("n_tokens"), 6)
-          .as("removed_frac"),
+        // n_tokens = 0 (empty/whitespace-only text) must not divide:
+        // Spark yields NULL but DuckDB can yield NaN/inf, so the
+        // oracle hash would diverge on such a row.
+        when(col("n_tokens") > 0,
+            round(size(col("cut")).cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("removed_frac"),
         expr("array_join(filter(t, (x, i) -> NOT array_contains(cut, i)), ' ')")
           .as("clean_text"))
   }

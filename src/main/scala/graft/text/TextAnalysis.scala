@@ -139,9 +139,17 @@ object TextAnalysis {
     * Float discipline (the [[lmScore]] rule): each per-term score is
     * one chain of IEEE double ops rounded to 6 dp, summed as
     * DECIMAL(18,6) so the reduction is order-exact — ranking and the
-    * oracle hash cannot drift with partitioning. */
+    * oracle hash cannot drift with partitioning.
+    *
+    * `excludeSelf` (default true): drop candidates whose `doc_id`
+    * equals the query's `qid` — the leave-one-out convention for
+    * doc-derived query workloads (a document trivially top-ranks
+    * itself). Callers whose qids live in a DIFFERENT id space than
+    * doc_ids must pass `excludeSelf = false`, or an accidental
+    * qid/doc_id collision silently loses a legitimate candidate. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -158,8 +166,9 @@ object TextAnalysis {
     val tfc = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
-    val terms = tf.join(broadcast(queries), Seq("tok"))
-      .filter(col("doc_id") =!= col("qid"))
+    val cand = tf.join(broadcast(queries), Seq("tok"))
+    val terms = (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid"))
+                 else cand)
       .join(dl, Seq("doc_id"))
       .join(broadcast(dfq), Seq("tok"))
       .crossJoin(broadcast(stats))
