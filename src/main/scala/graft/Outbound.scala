@@ -17,6 +17,28 @@ object Outbound {
 
   final case class PushResult(docs: DataFrame, report: Delta.ReconcileReport)
 
+  /** Stage-once, consume-many: EP2 stages its outbound delta docs ONE
+    * time per source snapshot, and every downstream consumer (the flat
+    * validation view, the nested materialization) reads the same staged
+    * parquet — exactly the production topology, where re-running the
+    * entire upstream prospect pipeline per consumer is the anti-pattern
+    * (the flagship output is a materialized table, not a view). The
+    * memo is keyed by source dir within this JVM; the first consumer
+    * pays the full build (flagship → delta → stage write + reconcile),
+    * later consumers re-open the on-disk stage. The returned DataFrame
+    * is re-created from the stage path on every call so a caller's
+    * CacheScope can't unpersist another consumer's lineage. */
+  private val sharedStages =
+    new java.util.concurrent.ConcurrentHashMap[String, Delta.ReconcileReport]()
+
+  def shared(spark: SparkSession, dir: String): PushResult = {
+    val stagePath = "/root/repo/target/stage/outbound_shared/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val report = sharedStages.computeIfAbsent(dir,
+      _ => push(spark, dir, stagePath).report)
+    PushResult(spark.read.parquet(stagePath), report)
+  }
+
   def push(spark: SparkSession, dir: String,
       stagePath: String = "/root/repo/target/stage/outbound"): PushResult = {
     // the pipeline output feeds the delta's both sides + validation:

