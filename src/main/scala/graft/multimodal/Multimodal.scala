@@ -84,6 +84,53 @@ object Multimodal {
         length(col("resized")).cast("long").as("resized_len"),
         md5(col("resized")).as("resized_md5"))
 
+  /** End-to-end multimodal curation — the media twin of the text leg's
+    * `q_pretrain_full` composition: ingest → stub decode → quality gate
+    * → frame sampling → cross-media exact frame dedup → keep decision.
+    *
+    * Stages (all existing operators, wired once):
+    *  1. [[asMedia]] — binary payload + typed metadata;
+    *  2. [[extractFeatures]] — partition-wise stub decode (the
+    *     mapPartitions site a real codec would occupy);
+    *  3. quality gate on DECODED features (payload ≥ `minBytes` —
+    *     the corrupt/blank-asset filter), applied BEFORE the frame
+    *     explode so the expensive stage only sees survivors;
+    *  4. [[sampleFrames]] — fixed-`frameBytes` frames per asset;
+    *  5. cross-media repeated-frame profile (the ExactSubstr analog
+    *     for video): a frame hash occurring in >1 asset marks its
+    *     occurrences duplicated; per asset, the duplicated-frame
+    *     fraction and `keep = dup_frac < maxDupFrac`.
+    *
+    * Scale shape: one frame-hash groupBy + one semi join back + two
+    * per-asset groupBys — every shuffle key-partitioned, fan-out
+    * bounded by frames-per-asset, no all-pairs stage. The frame set is
+    * consumed three times, so it is scope-persisted. */
+  def curationPipeline(docs: DataFrame, frameBytes: Int = 64,
+      minBytes: Long = 64, maxDupFrac: Double = 0.5): DataFrame = {
+    val media = graft.CacheScope.persist(asMedia(docs))
+    val gated = extractFeatures(media).filter(col("n_bytes") >= minBytes)
+    val frames = graft.CacheScope.persist(
+      sampleFrames(
+        media.join(gated.select(col("media_id")), Seq("media_id"), "left_semi"),
+        frameBytes))
+    val dupHashes = frames.groupBy(col("frame_md5"))
+      .agg(countDistinct(col("media_id")).as("nm"))
+      .filter(col("nm") > 1)
+      .select(col("frame_md5"))
+    val nDup = frames.join(dupHashes, Seq("frame_md5"), "left_semi")
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_dup"))
+    val nFrames = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val frac = coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_frames")
+    gated.join(nFrames, Seq("media_id"))
+      .join(nDup, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+        col("mean_byte"), col("n_frames"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_frames"),
+        round(frac, 6).as("dup_frame_frac"),
+        (frac < lit(maxDupFrac)).as("keep"))
+  }
+
   /** Partition-wise feature extraction over the binary payload. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -497,6 +497,46 @@ object PipelineQueries {
         md5(resized) AS resized_md5
       FROM r"""))
 
+  /** Multimodal end-to-end curation (the media twin of the text leg's
+    * `q_pretrain_full`): ingest → partition-wise stub decode → quality
+    * gate on decoded features (n_bytes ≥ 64) → 64-byte frame sampling
+    * → cross-media exact frame dedup → keep decision. Wires asMedia +
+    * extractFeatures + sampleFrames + the frame-hash dedup profile in
+    * one hash-checked composition — a stage-wiring bug anywhere (gate
+    * before/after the explode, dup hash universe, join keys) fails the
+    * gate. ASCII fixtures keep byte- and char-slicing aligned between
+    * the engines (same contract as q_mm_frame_sample). */
+  private val mmPipeline = Q("q_multimodal_pipeline",
+    (s, dir) => Multimodal.curationPipeline(
+      Tables.load(s, dir, "documents"), frameBytes = 64,
+      minBytes = 64L, maxDupFrac = 0.5),
+    Some("""
+      WITH b AS (SELECT doc_id AS media_id, text,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          list_transform(string_split(text, ''), x -> ord(x)) AS cps
+        FROM documents),
+      feat AS (SELECT media_id, text, n_bytes,
+          CAST(n_bytes % 640 AS INTEGER) AS width,
+          CAST((n_bytes * 7) % 480 AS INTEGER) AS height,
+          CAST(list_sum(cps) AS DOUBLE) / n_bytes AS mean_byte
+        FROM b WHERE n_bytes >= 64),
+      fr AS (SELECT media_id,
+          md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        FROM feat, unnest(range(0, (n_bytes - 1) // 64 + 1)) AS u(i)),
+      dup AS (SELECT frame_md5 FROM fr GROUP BY frame_md5
+              HAVING count(DISTINCT media_id) > 1),
+      nd AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_dup
+             FROM fr WHERE frame_md5 IN (SELECT frame_md5 FROM dup)
+             GROUP BY media_id),
+      nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames
+             FROM fr GROUP BY media_id)
+      SELECT f.media_id, n_bytes, width, height, mean_byte, n_frames,
+        coalesce(n_dup, 0) AS n_dup_frames,
+        round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_frames, 6)
+          AS dup_frame_frac,
+        CAST(coalesce(n_dup, 0) AS DOUBLE) / n_frames < 0.5 AS keep
+      FROM feat f JOIN nf USING (media_id) LEFT JOIN nd USING (media_id)"""))
+
   /** Streaming dedup (dropDuplicates inside the watermark) — oracle is
     * the batch distinct count. */
   private val streamDedup = Q("q_stream_dedup",
@@ -521,7 +561,7 @@ object PipelineQueries {
         value AS last_value
       FROM r WHERE rn = 1"""))
 
-  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize,
+  val all: Seq[Q] = Seq(mmPlumbing, mmDecode, mmFrames, mmResize, mmPipeline,
     streamHourly, streamEnrich, streamDedup, streamSink, streamStream,
     streamOuter, streamMerge, streamTws, stateReader, streamSessionize,
     user360, flagship, flagshipFlat, outbound, outboundFlat)
