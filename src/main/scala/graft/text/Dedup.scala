@@ -200,21 +200,58 @@ object Dedup {
     * rows and intersects in-row (see [[docHashSets]]) for the exact
     * intersection. The oracle is the brute-force all-pairs Jaccard:
     * hash-equality proves the filter lost nothing.
+    *
+    * `pairBudgetPerDoc` (None = exact, the registered-query mode):
+    * when set, the prefix POSTINGS are additionally filtered to the
+    * largest prefix-df whose cumulative candidate-pair mass
+    * Σ C(df_p, 2) stays ≤ budget × n_docs — the same linear cost bound
+    * as [[containmentPairsCapped]]'s mass knob, computed exactly from
+    * the prefix-df histogram. This trades guaranteed completeness for
+    * a candidate join LINEAR in corpus size — the 100 TB operating
+    * mode on vocabulary-saturating corpora, where the exact filter's
+    * posting mass grows quadratically (measured: the sf100x leg
+    * exceeds single-box spill disk uncapped). Recall under the cap is
+    * a measured quantity (PairLegBench reports it against the exact
+    * twin), not a silent loss.
     */
-  def prefixJaccardPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+  def prefixJaccardPairs(sh0: DataFrame, threshold: Double,
+      pairBudgetPerDoc: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val sh = graft.CacheScope.persist(sh0)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = graft.CacheScope.persist(
+    val prefixAll = graft.CacheScope.persist(
       sh.join(dfreq, "s")
         .withColumn("rn", row_number().over(byRarity))
         .join(sizes, "doc_id")
         .filter(col("rn") <=
           col("n") - ceil(lit(threshold) * col("n")) + 1)
         .select(col("doc_id"), col("s")))
+    val prefix = pairBudgetPerDoc match {
+      case None => prefixAll
+      case Some(budget) =>
+        // cost knob over the PREFIX postings' own df histogram: keep
+        // postings whose prefix-df ≤ the largest df with cumulative
+        // Σ C(df', 2) ≤ budget × n_docs (floor: df_p = 2, so genuine
+        // near-dup pairs sharing a globally-rare shingle always survive)
+        val W = org.apache.spark.sql.expressions.Window
+        val pdf = graft.CacheScope.persist(
+          prefixAll.groupBy(col("s")).agg(count(lit(1)).as("dfp")))
+        val nd = sh.agg(countDistinct(col("doc_id")).as("ndocs"))
+        val cap = pdf.groupBy(col("dfp")).agg(count(lit(1)).as("c"))
+          .withColumn("cm", sum(col("c") * col("dfp") * (col("dfp") - 1) / 2)
+            .over(W.orderBy(col("dfp"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .crossJoin(broadcast(nd))
+          .agg(max(when(col("cm") <= lit(budget) * col("ndocs"),
+            col("dfp"))).as("mcap"))
+          .select(greatest(lit(2L), coalesce(col("mcap"), lit(2L))).as("cap"))
+        prefixAll.join(pdf, "s").crossJoin(broadcast(cap))
+          .filter(col("dfp") <= col("cap"))
+          .select(col("doc_id"), col("s"))
+    }
     // length-ratio pruning (exactness-preserving): Jaccard ≥ t forces
     // t·max(na,nb) ≤ min(na,nb), so size-mismatched candidates are cut
     // BEFORE the verification joins touch the full shingle sets

@@ -97,6 +97,24 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("capped prefix pairs: subset of exact, equal under a slack budget, values exact") {
+    graft.CacheScope.scoped {
+      val sh = Dedup.shingles(docs)
+      val exact = Dedup.prefixJaccardPairs(sh, threshold = 0.5)
+      // a slack budget must not change the pair set at all
+      val slack = Dedup.prefixJaccardPairs(sh, threshold = 0.5,
+        pairBudgetPerDoc = Some(Long.MaxValue / 4))
+      assert(exact.exceptAll(slack).isEmpty && slack.exceptAll(exact).isEmpty)
+      // a tight budget bounds recall but must never invent a pair or
+      // change a surviving pair's exact (n_common, jaccard) values
+      val tight = Dedup.prefixJaccardPairs(sh, threshold = 0.5,
+        pairBudgetPerDoc = Some(1L))
+      assert(tight.exceptAll(exact).isEmpty,
+        "capped candidates must be a subset of the exact pair set")
+      assert(exact.count() > 0)
+    }
+  }
+
   test("bm25 excludeSelf=false keeps the qid/doc_id-colliding candidate") {
     import spark.implicits._
     graft.CacheScope.scoped {

@@ -9,11 +9,11 @@ cd /root/repo || exit 1
 log(){ echo "=== $(date +%T) $1 ==="; }
 export SPARK_GRAFT_CPUS=32
 [ -d target/sf1x/documents.parquet ] || { echo "FAIL no sf1x"; exit 1; }
-[ -d target/sf10x_docs/documents.parquet ] || { echo "FAIL no sf10x_docs"; exit 1; }
+[ -d target/sf10x_chain/documents.parquet ] || { echo "FAIL no sf10x_docs"; exit 1; }
 
 log "LegBench ngram A/B (5 reps, interleaved sf1x/sf10x)"
 SPARK_GRAFT_ONLY=q_dedup_ngram_jaccard SPARK_GRAFT_REPS=5 SPARK_DRIVER_MEM=64g \
-  sbt -batch "runMain graft.LegBench target/sf1x target/sf10x_docs" \
+  sbt -batch "runMain graft.LegBench target/sf1x target/sf10x_chain" \
   > target/r11a_ngram_ab.log 2>&1 || { echo "FAIL legbench"; exit 1; }
 grep -oE '\{"metric":"leg_medians".*' target/r11a_ngram_ab.log | tail -1 \
   > target/r11a_ngram_ab.json
@@ -21,9 +21,9 @@ python3 - <<'PY'
 import json, math
 d = json.load(open('target/r11a_ngram_ab.json'))
 lo_m = d['medians']['target/sf1x#q_dedup_ngram_jaccard']
-hi_m = d['medians']['target/sf10x_docs#q_dedup_ngram_jaccard']
+hi_m = d['medians']['target/sf10x_chain#q_dedup_ngram_jaccard']
 lo_n = d['medians_min']['target/sf1x#q_dedup_ngram_jaccard']
-hi_n = d['medians_min']['target/sf10x_docs#q_dedup_ngram_jaccard']
+hi_n = d['medians_min']['target/sf10x_chain#q_dedup_ngram_jaccard']
 em = math.log10(hi_m/lo_m)
 en = math.log10(hi_n/lo_n)
 out = {
