@@ -245,7 +245,10 @@ object Dedup {
             .over(W.orderBy(col("dfp"))
               .rowsBetween(W.unboundedPreceding, W.currentRow)))
           .crossJoin(broadcast(nd))
-          .agg(max(when(col("cm") <= lit(budget) * col("ndocs"),
+          // double-typed comparison: a slack budget × ndocs in long
+          // arithmetic overflows under ANSI mode
+          .agg(max(when(col("cm") <=
+              lit(budget).cast("double") * col("ndocs").cast("double"),
             col("dfp"))).as("mcap"))
           .select(greatest(lit(2L), coalesce(col("mcap"), lit(2L))).as("cap"))
         prefixAll.join(pdf, "s").crossJoin(broadcast(cap))
