@@ -903,11 +903,72 @@ object CurationQueries {
       FROM documents
       WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)"""))
 
+  /** DSIR-style target-domain importance weights (Xie et al. 2023):
+    * hashed-unigram log-likelihood ratio of a curated target slice
+    * (src0–src2) vs the whole corpus, summed per document — the
+    * standard "select raw web data that looks like my curated set"
+    * scorer. Scoring only (composes with quantileBand/hashSplit for
+    * selection); the bucket model is 512 rows and broadcast, so the
+    * corpus shuffles once on doc_id and never on bucket. */
+  private val dsir = Q("q_curation_dsir",
+    (s, dir) => Curation.dsirWeights(
+      Tables.load(s, dir, "documents"),
+      col("source").isin("src0", "src1", "src2"), buckets = 512),
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_target,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+      tb AS (SELECT doc_id, is_target,
+          CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 512 AS b,
+          count(*) AS c
+        FROM toks GROUP BY 1, 2, 3),
+      model AS (SELECT b,
+          sum(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+          sum(c) AS cr
+        FROM tb GROUP BY b),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+          CAST(sum(cr) AS BIGINT) AS tr FROM model),
+      llr AS (SELECT b,
+          round(ln((ct + 1) / CAST(tt + 512 AS DOUBLE)) -
+                ln((cr + 1) / CAST(tr + 512 AS DOUBLE)), 6) AS llr
+        FROM model, tot)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        CAST(sum(CAST(round(c * llr, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          AS log_weight
+      FROM tb JOIN llr USING (b) GROUP BY doc_id"""))
+
+  /** Temperature-scaled mixture weights (α = 0.7): per-source sampling
+    * probability p^α/Σp^α over raw token shares, plus the effective
+    * epoch multiplier a training run budgets against. Reduces to one
+    * row per source immediately — constant-sized at any corpus scale. */
+  private val mixTemperature = Q("q_mix_temperature",
+    (s, dir) => Curation.temperatureMix(
+      Tables.load(s, dir, "documents"), col("source"),
+      size(TextAnalysis.tokens).cast("long"), alpha = 0.7),
+    Some(raw"""
+      WITH counts AS (SELECT source AS stratum,
+          CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              FROM counts),
+      shares AS (SELECT stratum, n_tokens,
+          n_tokens / CAST(total_tokens AS DOUBLE) AS p_raw,
+          CAST(round(pow(n_tokens / CAST(total_tokens AS DOUBLE), 0.7), 8)
+            AS DECIMAL(20,8)) AS p_alpha
+        FROM counts, tot),
+      norm AS (SELECT sum(p_alpha) AS norm FROM shares)
+      SELECT stratum, n_tokens, round(p_raw, 6) AS p_raw,
+        round(CAST(p_alpha AS DOUBLE) / CAST(norm AS DOUBLE), 6) AS weight,
+        round(CAST(p_alpha AS DOUBLE) / CAST(norm AS DOUBLE) / p_raw, 6)
+          AS epochs
+      FROM shares, norm"""))
+
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, decontaminateBloom, pack,
     packScalable, packManifest, runCollapse, pretrainPipeline,
     pretrainFull, pagerank,
     sourceCap, profileTable, triangles, rankScale, tokenBudget,
-    weightedSample)
+    weightedSample, dsir, mixTemperature)
 }

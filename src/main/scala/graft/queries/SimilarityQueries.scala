@@ -616,7 +616,39 @@ object SimilarityQueries {
              ELSE 'emb_only' END AS signal
       FROM tp FULL OUTER JOIN ep ON tp.da = ep.da AND tp.db = ep.db"""))
 
+  /** SemDeDup (Abbas et al. 2023): k-means-sharded semantic dedup —
+    * duplicates are near-cosine pairs WITHIN a trained cluster, keeper
+    * is the min id per dominator set. Reuses the q_kmeans_fit training
+    * trajectory (k=8, 2 Lloyd rounds, seeded from the first k vectors)
+    * plus one final assignment, so the oracle walks the identical
+    * centroid path; the pair stage is quadratic only within a cluster
+    * (O(n²/k), the paper's scaling argument), never across. */
+  private val semanticDedup = Q("q_dedup_semantic",
+    (s, dir) => graft.similarity.SemDedup.semDedup(
+      Tables.load(s, dir, "embeddings"), k = 8, iters = 2, tau = 0.35),
+    Some(s"""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, e AS cv FROM p WHERE vec_id < 8),
+      a1 AS ${kmAssign("c0")},
+      c1 AS ${kmRecenter("a1")},
+      a2 AS ${kmAssign("c1")},
+      c2 AS ${kmRecenter("a2")},
+      af AS ${kmAssign("(SELECT cid, cv FROM c2)")},
+      pn AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+             FROM p),
+      j AS (SELECT af.vec_id, af.cid, pn.e, pn.nrm
+            FROM af JOIN pn USING (vec_id)),
+      dom AS (SELECT b.vec_id, min(a.vec_id) AS kept_for,
+                count(*) AS n_dominators
+              FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35
+              GROUP BY b.vec_id)
+      SELECT j.vec_id, j.cid, dom.kept_for,
+        coalesce(dom.n_dominators, 0) AS n_dominators,
+        dom.kept_for IS NULL AS keep
+      FROM j LEFT JOIN dom USING (vec_id)"""))
+
   val all: Seq[Q] = Seq(brute, lsh, ivf, pairs, embClusters, int8, signSig,
     hamming, hofSuite, pqCodes, pqAdc, kmeans, pqIvf, pqRecall,
-    embNormalize, hybridRrf, modalityAgreement)
+    embNormalize, hybridRrf, modalityAgreement, semanticDedup)
 }

@@ -587,6 +587,104 @@ object TextQueries {
       JOIN sizes sb ON db = sb.doc_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""))
 
+  /** Shared oracle CTEs for the CAPPED prefix-Jaccard pass: the exact
+    * prefix postings, their own df histogram, the largest prefix-df
+    * whose cumulative pair mass Σ C(dfp,2) stays ≤ 16 × n_docs
+    * (floor 2), the filtered prefix index, and the length-ratio-pruned
+    * candidates verified exactly. Mirrors
+    * `Dedup.prefixJaccardPairs(budget = Some(16))` clause by clause. */
+  private val cappedPrefixCte = shCte + raw""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      prefall AS (SELECT sh.doc_id, sh.s
+                  FROM sh JOIN dfreq USING (s) JOIN sizes USING (doc_id)
+                  QUALIFY row_number() OVER (PARTITION BY sh.doc_id
+                      ORDER BY df, sh.s) <= n - ceil(0.5 * n) + 1),
+      pdf AS (SELECT s, count(*) AS dfp FROM prefall GROUP BY s),
+      phist AS (SELECT dfp, count(*) AS c FROM pdf GROUP BY dfp),
+      pcum AS (SELECT dfp,
+                 sum(c * dfp * (dfp - 1) / 2) OVER (ORDER BY dfp) AS cm
+               FROM phist),
+      nd2 AS (SELECT count(DISTINCT doc_id) AS ndocs FROM sh),
+      pcap AS (SELECT greatest(2, coalesce(
+                 (SELECT max(dfp) FROM pcum, nd2 WHERE cm <= 16.0 * ndocs),
+                 2)) AS cap),
+      pref AS (SELECT p.doc_id, p.s FROM prefall p JOIN pdf USING (s), pcap
+               WHERE dfp <= pcap.cap),
+      ccand AS (SELECT da, db, sa.n AS na, sb.n AS nb
+                FROM (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                      FROM pref a JOIN pref b USING (s)
+                      WHERE a.doc_id < b.doc_id) c
+                JOIN sizes sa ON da = sa.doc_id
+                JOIN sizes sb ON db = sb.doc_id
+                WHERE least(sa.n, sb.n) >= ceil(0.5 * greatest(sa.n, sb.n))),
+      cppairs AS (SELECT da, db, n_common,
+                    CAST(n_common AS DOUBLE) / (na + nb - n_common)
+                      AS jaccard
+                  FROM (SELECT c.da, c.db, c.na, c.nb, count(*) AS n_common
+                        FROM ccand c JOIN sh a ON a.doc_id = c.da
+                        JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+                        GROUP BY 1, 2, 3, 4)
+                  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+                    >= 0.5)"""
+
+  /** The 100 TB operating mode of the prefix-Jaccard pair finder: the
+    * prefix POSTINGS are df-capped so cumulative candidate-pair mass
+    * stays ≤ 16 × n_docs — candidate cost LINEAR in corpus size where
+    * the exact filter's posting mass grows quadratically on
+    * vocabulary-saturating corpora (BENCH_SCALING_sf100x_capped.json is
+    * this mode's measured third decade). The oracle mirrors the cap
+    * computation clause by clause, so the capped semantics themselves —
+    * not just the uncapped ideal — are hash-checked; the cap genuinely
+    * bites at sf0.1 (cap 6 < max prefix-df 10). */
+  private val prefixCapped = Q("q_dedup_prefix_capped",
+    (s, dir) => Dedup.prefixJaccardPairs(
+      Dedup.shingles(Tables.load(s, dir, "documents")), threshold = 0.5,
+      pairBudgetPerDoc = Some(16L)),
+    Some(cappedPrefixCte + raw"""
+      SELECT da, db, n_common, jaccard FROM cppairs"""))
+
+  /** Recall of the capped prefix pass against the guaranteed-complete
+    * exact twin, fully mirror-computed: the oracle rebuilds BOTH pair
+    * sets and the recall arithmetic in SQL (no asserted literal), so
+    * engine and oracle must agree on exactly which pairs the cap keeps
+    * and loses. 1.0 at sf0.01 (cap above max dfp); at sf0.1 the cap
+    * bites and the measured recall itself is the compared value. */
+  private val prefixCappedRecall = Q("q_dedup_prefix_capped_recall",
+    (s, dir) => {
+      val sh = graft.CacheScope.persist(
+        Dedup.shingles(Tables.load(s, dir, "documents")))
+      val exact = graft.CacheScope.persist(
+        Dedup.prefixJaccardPairs(sh, 0.5).select(col("da"), col("db")))
+      val capped = graft.CacheScope.persist(
+        Dedup.prefixJaccardPairs(sh, 0.5, Some(16L))
+          .select(col("da"), col("db")))
+      val hits = exact.join(capped, Seq("da", "db"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+    },
+    Some(cappedPrefixCte + raw""",
+      epairs AS (SELECT p.da, p.db
+                 FROM (SELECT a.doc_id AS da, b.doc_id AS db,
+                         count(*) AS n_common
+                       FROM sh a JOIN sh b USING (s)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+                 JOIN sizes sa ON p.da = sa.doc_id
+                 JOIN sizes sb ON p.db = sb.doc_id
+                 WHERE CAST(p.n_common AS DOUBLE) /
+                   (sa.n + sb.n - p.n_common) >= 0.5),
+      hitp AS (SELECT count(*) AS n_hit
+               FROM epairs JOIN cppairs USING (da, db))
+      SELECT (SELECT count(*) FROM epairs) AS n_exact,
+             (SELECT count(*) FROM cppairs) AS n_capped,
+             hitp.n_hit,
+             round(CAST(hitp.n_hit AS DOUBLE) /
+               (SELECT count(*) FROM epairs), 6) AS recall
+      FROM hitp"""))
+
   /** Corpus drift monitor: add-1-smoothed unigram KL divergence between
     * two corpus slices (sources src0–src9 vs src10–src19) — the
     * distribution-shift alarm a continuously-ingesting pipeline runs
@@ -956,7 +1054,8 @@ object TextQueries {
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
     exact, jaccard, minhash, lsh, simhash, simhashPairs, simhashTopM,
     topmRecall, editVerify, lshRecall, lmScore, hashTf, boilerplate,
-    tokenHistogram, pmi, prefixJaccard, corpusDrift, containment,
+    tokenHistogram, pmi, prefixJaccard, prefixCapped, prefixCappedRecall,
+    corpusDrift, containment,
     containmentRecall, containmentExact, substring, spanRemove, bm25,
     bpePairs, sourceOverlap)
 }

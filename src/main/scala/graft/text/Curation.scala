@@ -334,4 +334,78 @@ object Curation {
         least(docEnd, seqStart + seqLen) - greatest(col("start_offset"), seqStart))
       .select(col("seq_id"), col("doc_id"), col("tokens_in_seq"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-domain-like its hashed bag-of-words is.
+    * Per-bucket log-likelihood ratio llr_b = ln p_target(b) −
+    * ln p_raw(b) under add-1-smoothed unigram models over `buckets`
+    * md5 hash buckets; a document's log-weight is Σ_b c_b · llr_b over
+    * its own bucket counts. Selection on the weights composes with
+    * [[quantileBand]] / [[hashSplit]] downstream — this op only scores,
+    * so it needs no global sort.
+    *
+    * Dataflow at 100 TB: tokens aggregate once to (doc_id, bucket)
+    * counts (one map-side-combined shuffle on doc_id — the same key the
+    * downstream per-doc join uses); the bucket model is `buckets` rows,
+    * built by a second tiny aggregation and BROADCAST back — the corpus
+    * never shuffles on bucket. Per-term rounding to 6 dp with a
+    * DECIMAL(18,6) sum makes the per-doc reduction order-exact (the
+    * corpus-drift/lmScore rule), so weights are reproducible across
+    * cluster layouts. */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 512): DataFrame = {
+    val docBuckets = graft.CacheScope.persist(
+      docs.select(col("doc_id"), isTarget.as("is_target"),
+          explode(TextAnalysis.tokens).as("tok"))
+        .withColumn("b", Scalars.md5Long60(col("tok")) % buckets)
+        .groupBy(col("doc_id"), col("is_target"), col("b"))
+        .agg(count(lit(1)).as("c")))
+    val model = docBuckets.groupBy(col("b")).agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"),
+      sum(col("c")).as("cr"))
+    val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val llr = model.crossJoin(broadcast(totals)).select(col("b"),
+      round(log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+            log((col("cr") + 1).cast("double") / (col("tr") + buckets)),
+        6).as("llr"))
+    docBuckets.join(broadcast(llr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        sum(round(col("c") * col("llr"), 6).cast("decimal(18,6)"))
+          .cast("double").as("log_weight"))
+  }
+
+  /** Temperature-scaled mixture weights (the multilingual/pretraining
+    * sampling rule, e.g. Conneau & Lample 2019): source i with raw
+    * token share p_i is sampled with probability p_i^α / Σ_j p_j^α,
+    * α < 1 flattening the mixture toward rare sources. Emits per
+    * stratum the raw share, the tempered weight, and the effective
+    * epoch multiplier weight/p_raw (how many passes over that source
+    * one corpus-epoch of sampling implies — the number a training run
+    * actually budgets against). Input reduces to one row per stratum
+    * immediately (map-side combine), so every later step is
+    * constant-sized regardless of corpus scale; per-term 8 dp DECIMAL
+    * rounding keeps the normalizer order-exact. */
+  def temperatureMix(docs: DataFrame, stratum: Column, tokenCount: Column,
+      alpha: Double): DataFrame = {
+    val counts = graft.CacheScope.persist(
+      docs.groupBy(stratum.as("stratum"))
+        .agg(sum(tokenCount).cast("long").as("n_tokens")))
+    val tot = counts.agg(sum(col("n_tokens")).as("total_tokens"))
+    val shares = graft.CacheScope.persist(counts.crossJoin(broadcast(tot))
+      .withColumn("p_raw",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("p_alpha",
+        round(pow(col("p_raw"), alpha), 8).cast("decimal(20,8)")))
+    val norm = shares.agg(sum(col("p_alpha")).as("norm"))
+    // both operands to double BEFORE dividing: decimal/decimal division
+    // scale rules differ across engines, double division does not
+    val w = col("p_alpha").cast("double") / col("norm").cast("double")
+    shares.crossJoin(broadcast(norm)).select(
+      col("stratum"), col("n_tokens"),
+      round(col("p_raw"), 6).as("p_raw"),
+      round(w, 6).as("weight"),
+      round(w / col("p_raw"), 6).as("epochs"))
+  }
 }

@@ -313,6 +313,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("capped prefix jaccard: cap scalar broadcast, candidates equi-keyed") {
+    graft.CacheScope.scoped {
+      val sh = graft.text.Dedup.shingles(
+        graft.sources.Tables.load(spark, sf, "documents"))
+      val p = pairPlan(graft.text.Dedup.prefixJaccardPairs(sh, 0.5,
+        pairBudgetPerDoc = Some(16L)))
+      assertPairShape(p)
+      // the one-row cap frame rides a broadcast nested-loop crossJoin,
+      // never a CartesianProduct
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
+
+  test("dsir: the bucket model is broadcast; the corpus never shuffles on the bucket key") {
+    val p = planOf("q_curation_dsir")
+    // the llr frame joins back via broadcast hash — a SortMergeJoin
+    // would mean the whole corpus re-shuffles on bucket
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("capped containment broadcasts its cap/ndocs scalars; candidates stay equi-keyed") {
     graft.CacheScope.scoped {
       val sh = graft.text.Dedup.shingles(

@@ -115,6 +115,108 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("semantic dedup: constructed near-dups drop to the min-id keeper") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      // two well-separated directions; ids 0/2/4 are near-identical
+      // copies of one, 1/3 of the other (k-means seeds from ids 0, 1)
+      val emb = Seq(
+        (0L, Array(1.0f, 0.01f)), (2L, Array(0.99f, 0.012f)),
+        (4L, Array(1.01f, 0.008f)),
+        (1L, Array(0.01f, 1.0f)), (3L, Array(-0.01f, 0.99f))
+      ).toDF("vec_id", "embedding")
+      val out = graft.similarity.SemDedup
+        .semDedup(emb, k = 2, iters = 2, tau = 0.999)
+        .as[(Long, Long, Option[Long], Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+      assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L))
+      assert(out(0L) === ((None, 0L, true)))
+      assert(out(1L) === ((None, 0L, true)))
+      assert(out(2L) === ((Some(0L), 1L, false)))
+      assert(out(3L) === ((Some(1L), 1L, false)))
+      // id 4 is dominated by BOTH 0 and 2; keeper is the min id
+      assert(out(4L) === ((Some(0L), 2L, false)))
+    }
+  }
+
+  test("dsir weights match an independent plain-Scala reference") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val corpus = Seq(
+        (1L, "tgt", "alpha beta alpha gamma"),
+        (2L, "tgt", "alpha beta delta"),
+        (3L, "raw", "epsilon zeta eta theta"),
+        (4L, "raw", "alpha epsilon epsilon"),
+        (5L, "raw", "beta beta gamma iota kappa")
+      ).toDF("doc_id", "source", "text")
+      val out = graft.text.Curation.dsirWeights(
+          corpus, col("source") === "tgt", buckets = 64)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+
+      // independent reference: plain Scala over the same strings
+      def b64(tok: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(15), 16) % 64
+      }
+      val docs = Seq(
+        1L -> ("tgt", "alpha beta alpha gamma"),
+        2L -> ("tgt", "alpha beta delta"),
+        3L -> ("raw", "epsilon zeta eta theta"),
+        4L -> ("raw", "alpha epsilon epsilon"),
+        5L -> ("raw", "beta beta gamma iota kappa"))
+      val perDoc = docs.map { case (id, (_, t)) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq.map(b64)
+          .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong } }
+        .toMap
+      val ct = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      val cr = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      docs.foreach { case (id, (src, _)) =>
+        perDoc(id).foreach { case (b, c) =>
+          cr(b) += c; if (src == "tgt") ct(b) += c } }
+      val (tt, tr) = (ct.values.sum, cr.values.sum)
+      def rnd6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val llr = cr.keys.map(b => b -> rnd6(
+        math.log((ct(b) + 1.0) / (tt + 64)) -
+        math.log((cr(b) + 1.0) / (tr + 64))).toDouble).toMap
+      val want = perDoc.map { case (id, cs) =>
+        id -> ((cs.values.sum,
+          cs.map { case (b, c) => rnd6(c * llr(b)) }.sum.toDouble)) }
+      assert(out === want)
+      // target docs must look more target-like than pure-raw-vocab docs
+      assert(out(1L)._2 > out(3L)._2)
+    }
+  }
+
+  test("temperature mix: alpha=1 is the raw mixture, alpha<1 flattens toward rare sources") {
+    import spark.implicits._
+    graft.CacheScope.scoped {
+      val corpus = Seq(
+        (1L, "big", 900L), (2L, "big", 600L), (3L, "small", 80L),
+        (4L, "small", 20L), (5L, "mid", 400L)
+      ).toDF("doc_id", "source", "n_toks")
+      def mix(a: Double) = graft.text.Curation.temperatureMix(
+          corpus, col("source"), col("n_toks"), alpha = a)
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val raw = mix(1.0)
+      // alpha = 1: weight == p_raw (to the rounding grid), epochs == 1
+      raw.values.foreach { case (_, p, w, ep) =>
+        assert(math.abs(w - p) <= 2e-6 && math.abs(ep - 1.0) <= 1e-4) }
+      val flat = mix(0.5)
+      assert(flat("big")._3 < raw("big")._3,
+        "tempering must down-weight the dominant source")
+      assert(flat("small")._3 > raw("small")._3,
+        "tempering must up-weight the rare source")
+      assert(flat("small")._4 > 1.0 && flat("big")._4 < 1.0)
+      // weights still normalize
+      assert(math.abs(flat.values.map(_._3).sum - 1.0) < 1e-4)
+      assert(raw("big")._1 === 1500L)
+    }
+  }
+
   test("bm25 excludeSelf=false keeps the qid/doc_id-colliding candidate") {
     import spark.implicits._
     graft.CacheScope.scoped {

@@ -1,29 +1,34 @@
 #!/bin/bash
-# Round-11c: third decade for the pair family UNDER THE CAP (verdict #2).
-# Uncapped, containment/prefix exceed single-box spill disk at 5M docs
-# (BENCH_SCALING_sf100x.json, measured); the capped mode IS the 100 TB
-# operating mode, so the decade is measured with
-# SPARK_GRAFT_PAIR_BUDGET=16 active on BOTH sides (sf10x and sf100x),
-# dirs interleaved within each rep (PairLegBench), plus the capped
-# prefix mode's measured recall against the exact twin at sf10x.
+# Round-11c: third-decade trend for the pair family UNDER THE CAP
+# (verdict #2). Two sf100x attempts are now MEASURED infeasible on this
+# box: uncapped (round 10, BENCH_SCALING_sf100x.json basis note) and
+# capped (this round, 02:14 run: "No space left on device" during the
+# sf100x containment leg after 19 min — the capped verify stage still
+# carries ~10.3 GB transient shuffle per 500k docs, linear, so 5M docs
+# needs ~103 GB vs 78 GB free). The third-decade TREND is therefore
+# measured over sf10x -> sf50x (500k -> 2.5M docs, peak ~52 GB, fits)
+# and normalized per decade: exponent = log10(hi/lo) / log10(5).
+# PairLegBench interleaves dirs within each rep; budget 16/doc on BOTH
+# sides; the capped prefix mode's recall vs the exact twin is measured
+# at sf10x.
 set -u
 cd /root/repo || exit 1
 log(){ echo "=== $(date +%T) $1 ==="; }
 export SPARK_GRAFT_CPUS=32
 [ -d target/sf10x_docs/documents.parquet ] || { echo "FAIL no sf10x_docs"; exit 1; }
 
-if [ ! -d target/sf100x_docs/documents.parquet ]; then
-  log "genscale sf100x documents-only (10 copies of sf10x_docs)"
+if [ ! -d target/sf50x_docs/documents.parquet ]; then
+  log "genscale sf50x documents-only (5 copies of sf10x_docs)"
   SPARK_DRIVER_MEM=64g sbt -batch \
-    "runMain graft.GenScale target/sf10x_docs target/sf100x_docs 10 documents" \
-    > target/r11c_gen_sf100x.log 2>&1 || { echo "FAIL gen"; exit 1; }
+    "runMain graft.GenScale target/sf10x_docs target/sf50x_docs 5 documents" \
+    > target/r11c_gen_sf50x.log 2>&1 || { echo "FAIL gen"; exit 1; }
 fi
 df -h / | tail -1
 
-log "PairLegBench capped decade (5 reps, budget 16/doc, interleaved)"
-SPARK_GRAFT_REPS=5 SPARK_GRAFT_PAIR_BUDGET=16 SPARK_DRIVER_MEM=96g \
+log "PairLegBench capped sf10x->sf50x (3 reps, budget 16/doc, interleaved)"
+SPARK_GRAFT_REPS=3 SPARK_GRAFT_PAIR_BUDGET=16 SPARK_DRIVER_MEM=64g \
   SPARK_GRAFT_PAIR_RECALL=target/sf10x_docs \
-  sbt -batch "runMain graft.PairLegBench target/sf10x_docs target/sf100x_docs" \
+  sbt -batch "runMain graft.PairLegBench target/sf10x_docs target/sf50x_docs" \
   > target/r11c_pairleg.log 2>&1 || { echo "FAIL pairleg"; tail -5 target/r11c_pairleg.log; exit 1; }
 df -h / | tail -1
 grep -oE '\{"metric":"pair_leg_medians".*' target/r11c_pairleg.log | tail -1 \
@@ -31,12 +36,16 @@ grep -oE '\{"metric":"pair_leg_medians".*' target/r11c_pairleg.log | tail -1 \
 python3 - <<'PY'
 import json, math
 d = json.load(open('target/r11c_pairleg.json'))
-lo, hi = 'target/sf10x_docs', 'target/sf100x_docs'
-out = {"protocol": ("Third decade (sf10x 500k docs -> sf100x 5M docs, documents-only "
-  "GenScale chain) for the pair family in its CAPPED operating mode: "
-  "pairBudgetPerDoc=16 active on BOTH sides, PairLegBench 5 reps with dirs "
-  "interleaved per rep; exponent = log10(hi/lo). The capped prefix mode's "
-  "recall vs the exact twin is measured at sf10x."),
+lo, hi = 'target/sf10x_docs', 'target/sf50x_docs'
+span = math.log10(5)  # sf10x -> sf50x is 0.699 of a decade
+out = {"protocol": ("Third-decade trend (sf10x 500k docs -> sf50x 2.5M docs, "
+  "documents-only GenScale chain) for the pair family in its CAPPED operating "
+  "mode: pairBudgetPerDoc=16 active on BOTH sides, PairLegBench 3 reps with "
+  "dirs interleaved per rep; exponents are normalized PER DECADE: "
+  "log10(hi/lo)/log10(5). A full sf100x leg is disk-infeasible on this box "
+  "even capped (measured twice: uncapped round 10; capped this round — "
+  "ENOSPC at ~103 GB projected transient vs 78 GB free). The capped prefix "
+  "mode's recall vs the exact twin is measured at sf10x."),
   "budget_per_doc": d["budget_per_doc"],
   "prefix_recall_sf10x": d.get("prefix_recall"),
   "legs": {}}
@@ -44,13 +53,13 @@ for leg in ("containment_capped", "prefix_capped"):
     lm, hm = d["medians"][f"{lo}#{leg}"], d["medians"][f"{hi}#{leg}"]
     ln, hn = d["medians_min"][f"{lo}#{leg}"], d["medians_min"][f"{hi}#{leg}"]
     out["legs"][leg] = {
-      "sf10x_median": lm, "sf100x_median": hm,
-      "exponent_median_based": round(math.log10(hm/lm), 3),
-      "exponent_min_based": round(math.log10(hn/ln), 3),
+      "sf10x_median": lm, "sf50x_median": hm,
+      "exponent_per_decade_median": round(math.log10(hm/lm) / span, 3),
+      "exponent_per_decade_min": round(math.log10(hn/ln) / span, 3),
       "per_rep_sf10x": d["per_rep"][f"{lo}#{leg}"],
-      "per_rep_sf100x": d["per_rep"][f"{hi}#{leg}"]}
-json.dump(out, open('BENCH_SCALING_sf100x_capped.json','w'), indent=2)
-print(json.dumps({k: (v["exponent_median_based"], v["exponent_min_based"])
+      "per_rep_sf50x": d["per_rep"][f"{hi}#{leg}"]}
+json.dump(out, open('BENCH_SCALING_CAPPED_3RD.json','w'), indent=2)
+print(json.dumps({k: (v["exponent_per_decade_median"], v["exponent_per_decade_min"])
                   for k, v in out["legs"].items()}))
 print("prefix recall @sf10x:", d.get("prefix_recall"))
 PY

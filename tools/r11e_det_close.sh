@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-11e: (a) two-run determinism sweep on the grown 191-query
+# Round-11e: (a) two-run determinism sweep on the grown 195-query
 # surface (verdict #8 — last swept at 186); (b) closing 3-rep medians
 # refresh at sf0.1 on the final round-11 code.
 set -u
