@@ -28,15 +28,24 @@ object Kmeans {
   private def l2sq(a: String, b: String) =
     expr(s"dot_f64($a, $a) - 2 * dot_f64($a, $b) + dot_f64($b, $b)")
 
-  /** Nearest-centroid assignment: (vec_id, cid) — one row per vector. */
-  def assign(prepared: DataFrame, centroids: DataFrame): DataFrame = {
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(l2sq("e", "cv").asc, col("cid").asc)
+  /** Nearest-centroid assignment: (vec_id, cid) — one row per vector.
+    *
+    * Shape matters here more than anywhere else in the trainer: the
+    * n×k candidate frame is reduced by `min(struct(dist, cid))` — the
+    * same (dist asc, cid asc) order a row_number window would use, but
+    * as an AGGREGATE, so map-side partial aggregation collapses the
+    * shuffle to ~one 24-byte row per vector per partition. The window
+    * form it replaces shuffled the full candidate rows — including the
+    * embedding AND centroid vectors (~2 KB each) — through the
+    * exchange: at 500k vectors × 800 centroids that is ~800 GB of
+    * shuffle vs ~12 MB after this reduction. Verified output-identical
+    * (the DuckDB oracle's `kmAssign` computes the same arg-min). */
+  def assign(prepared: DataFrame, centroids: DataFrame): DataFrame =
     prepared.crossJoin(broadcast(centroids))
-      .withColumn("__rn", row_number().over(byDist))
-      .where(col("__rn") === 1)
-      .select(col("vec_id"), col("cid"))
-  }
+      .select(col("vec_id"), col("cid"), l2sq("e", "cv").as("__d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("cid"))
 
   /** Run `iters` Lloyd rounds over the embedding column; returns the
     * final centroids as (cid, cv, n_members) where `n_members` counts
@@ -87,12 +96,16 @@ object Kmeans {
     var cents = p.where(col("vec_id") < k)
       .select(col("g"), col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val byDist = Window.partitionBy(col("g"), col("vec_id"))
-        .orderBy(l2sq("v", "cv").asc, col("cid").asc)
+      // same min(struct) reduction as [[assign]] (map-side combine vs
+      // shuffling full candidate rows through a window exchange); v
+      // rides the buffer but never orders — (dist, cid) is unique per
+      // (g, vec_id) candidate set, so comparison stops at cid
       val asg = p.join(broadcast(cents), "g")
-        .withColumn("__rn", row_number().over(byDist))
-        .where(col("__rn") === 1)
-        .select(col("g"), col("cid"), col("v"))
+        .select(col("g"), col("vec_id"),
+          l2sq("v", "cv").as("__d"), col("cid"), col("v"))
+        .groupBy(col("g"), col("vec_id"))
+        .agg(min(struct(col("__d"), col("cid"), col("v"))).as("__m"))
+        .select(col("g"), col("__m.cid").as("cid"), col("__m.v").as("v"))
       cents = CacheScope.persist(
         asg.select(col("g"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("g"), col("cid"), col("pos"))

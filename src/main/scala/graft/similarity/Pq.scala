@@ -78,15 +78,18 @@ object Pq {
     if (trainIters > 0) trainedCodebook(sub, nCentroids, trainIters)
     else codebook(sub, nCentroids)
 
-  /** Per-(vector, subspace) nearest-centroid codes: (vec_id, s, code). */
-  private def codesOf(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val byDist = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(l2sq("v", "cv").asc, col("cid").asc)
+  /** Per-(vector, subspace) nearest-centroid codes: (vec_id, s, code).
+    * Arg-min as `min(struct(dist, cid))` rather than a row_number
+    * window: map-side partial aggregation reduces the 16×-expanded
+    * candidate frame before the exchange instead of shuffling it
+    * (same (dist asc, cid asc) order, output-identical). */
+  private def codesOf(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), "s")
-      .withColumn("__rn", row_number().over(byDist))
-      .where(col("__rn") === 1)
-      .select(col("vec_id"), col("s"), col("cid").as("code"))
-  }
+      .select(col("vec_id"), col("s"),
+        l2sq("v", "cv").as("__d"), col("cid"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("s"), col("__m.cid").as("code"))
 
   /** Per-query distance LUT: (qid, s, code, d) with d decimal-carried. */
   private def lutOf(sub: DataFrame, cb: DataFrame,
