@@ -31,9 +31,18 @@ object Outbound {
   private val sharedStages =
     new java.util.concurrent.ConcurrentHashMap[String, Delta.ReconcileReport]()
 
+  /** The sanitized dir name alone is lossy ('target/sf1x' and
+    * 'target_sf1x' collide); an md5 suffix of the RAW dir makes the
+    * stage path injective so two sources can never share one stage. */
+  private[graft] def sharedStagePath(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    "/root/repo/target/stage/outbound_shared/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
+  }
+
   def shared(spark: SparkSession, dir: String): PushResult = {
-    val stagePath = "/root/repo/target/stage/outbound_shared/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val stagePath = sharedStagePath(dir)
     val report = sharedStages.computeIfAbsent(dir,
       _ => push(spark, dir, stagePath).report)
     PushResult(spark.read.parquet(stagePath), report)

