@@ -69,39 +69,65 @@ object Kmeans {
     * flat path uses — equals [[assign]]'s output, ties included; the
     * bound is epsilon-padded against sqrt round-off (slack only ever
     * ADMITS candidates). Verified ≡ flat on the fixture at k = 100
-    * (Round12Spec). Below `flatBelow` centroids the flat path is
-    * cheaper and is dispatched verbatim, which also keeps the
-    * oracle-gated fixture queries (k = 8) on the byte-identical plan.
+    * (Round12Spec).
+    *
+    * ADAPTIVE DISPATCH on the flat pass's work product n·k (the same
+    * measured-boundary pattern as `Dedup.jaccardPairs`' pair budget and
+    * `Dedup.connectedComponents`' edge bound): the two-level path
+    * carries ~15 extra jobs of fixed latency (two small Lloyd fits,
+    * checkpoints, the bound joins — measured ~17 s on this box), so
+    * below `workBudget` candidate evaluations the flat broadcast pass
+    * is strictly cheaper (measured at n = 200k, k = 320: flat 4 s vs
+    * two-level 21 s — n·k = 6.4e7 is 'free' for codegen; the n·k term
+    * only dominates once it reaches ~1e9, where flat is minutes and
+    * two-level stays ~n·√k). `flatBelow` additionally keeps tiny-k
+    * callers (the k = 8 oracle fixture) on the byte-identical flat
+    * plan without paying the corpus count.
     *
     * Scale shape: the only frames wider than (id, id, double) are the
     * g-row super frame and the k-row centroid frame (both broadcast);
     * the n×g super-distance frame carries three scalars per row. */
   def assignTwoLevel(prepared: DataFrame, centroids: DataFrame,
-      flatBelow: Long = 64L): DataFrame = {
-    val cents = CacheScope.persist(
-      centroids.select(col("cid"), col("cv")))
+      flatBelow: Long = 64L, workBudget: Double = 4e8): DataFrame = {
+    // localCheckpoint, not persist: every small frame below is rebuilt
+    // from `cents` along MANY plan branches (sup feeds c2g, radii, and
+    // supR; vg is read twice; the caller may then self-join the
+    // result), so carrying full lineage duplicates the super-fit
+    // subtree exponentially — the JOB is fine but the driver burns
+    // minutes in generateTreeString on the blown-up tree (measured:
+    // SemLegBench sf10x_de hung >5 min single-core in plan
+    // stringification). Checkpointing the k-row frames cuts every
+    // branch at a LocalTableScan-sized stub; the checkpoint RDDs are
+    // reclaimed by the ContextCleaner (same pattern as
+    // Dedup.connectedComponents' doubling loop).
+    val cents = centroids.select(col("cid"), col("cv")).localCheckpoint()
     val k = cents.count() // fenced driver scalar on a k-row frame
-    if (k <= flatBelow) assign(prepared, cents)
+    // fenced driver scalars only: k rows + one corpus count — never row
+    // data. The count is skipped entirely below flatBelow.
+    if (k <= flatBelow ||
+        prepared.count().toDouble * k <= workBudget) assign(prepared, cents)
     else {
       val g = math.ceil(math.sqrt(k.toDouble)).toInt
       // contiguous rank so the super-fit can seed from vec_id < g; the
       // window orders the k-row centroid frame, never the corpus
-      val ranked = CacheScope.persist(cents.withColumn("rk",
-        row_number().over(Window.orderBy(col("cid"))).cast("long") - 1))
+      val ranked = cents.withColumn("rk",
+        row_number().over(Window.orderBy(col("cid"))).cast("long") - 1)
+        .localCheckpoint()
       val sup = fit(ranked.select(col("rk").as("vec_id"),
           col("cv").as("embedding")), g, iters = 2)
         .select(col("cid").as("gid"), col("cv").as("sv"))
+        .localCheckpoint()
       val c2g = assign(
         ranked.select(col("rk").as("vec_id"), col("cv").as("e")),
         sup.select(col("gid").as("cid"), col("sv").as("cv")))
         .select(col("vec_id").as("rk"), col("cid").as("gid"))
-      val cg = CacheScope.persist(ranked.join(c2g, "rk")
-        .select(col("gid"), col("cid"), col("cv")))
+      val cg = ranked.join(c2g, "rk")
+        .select(col("gid"), col("cid"), col("cv")).localCheckpoint()
       val radii = cg.join(broadcast(sup), "gid")
         .select(col("gid"),
           sqrt(greatest(l2sq("cv", "sv"), lit(0.0))).as("dcs"))
         .groupBy(col("gid")).agg(max(col("dcs")).as("rg"))
-      val supR = CacheScope.persist(sup.join(radii, "gid"))
+      val supR = sup.join(radii, "gid").localCheckpoint()
       val vg = CacheScope.persist(
         prepared.crossJoin(broadcast(supR))
           .select(col("vec_id"), col("gid"),

@@ -22,7 +22,9 @@ class Round12Spec extends SparkSuite {
         Kmeans.fit(emb, k = 100, iters = 2).select(col("cid"), col("cv")))
       assert(cents.count() > 64, "fixture must exercise the pruned path")
       val flat = Kmeans.assign(p, cents)
-      val two = Kmeans.assignTwoLevel(p, cents)
+      // workBudget = 0 forces the pruned path (the fixture's n*k is
+      // below the measured adaptive crossover)
+      val two = Kmeans.assignTwoLevel(p, cents, workBudget = 0.0)
       assert(two.exceptAll(flat).isEmpty && flat.exceptAll(two).isEmpty)
     }
   }
@@ -70,7 +72,9 @@ class Round12Spec extends SparkSuite {
   test("assignTwoLevel below the boundary dispatches the flat broadcast pass") {
     graft.CacheScope.scoped {
       val p = graft.CacheScope.persist(Knn.prepared(emb))
-      val cents = Kmeans.fit(emb, k = 8, iters = 2).select(col("cid"), col("cv"))
+      // k = 100 > flatBelow, but the fixture's n*k = 200k is far below
+      // the 4e8 work budget: the ADAPTIVE path must also be flat
+      val cents = Kmeans.fit(emb, k = 100, iters = 2).select(col("cid"), col("cv"))
       val out = Kmeans.assignTwoLevel(p, cents)
       out.count()
       // the pruned path derives the dvs/rg bound columns; the flat
