@@ -47,9 +47,16 @@ object GraftSession {
       .config("spark.cleaner.periodicGC.interval", "3min")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
-  /** Local session sized to `cpus` threads — the mains' form. */
+  /** Local session sized to `cpus` threads — the mains' form.
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` decouples the partition count
+    * from the thread count (the default ties them): shuffle-heavy legs
+    * whose per-partition sort exceeds per-task execution memory need
+    * MORE partitions than cores, exactly like a cluster deployment —
+    * see the spill-aware sizing note in the builder scaladoc. */
   def local(cpus: Int): SparkSession = {
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cpus)
+    val s = builder(s"local[$cpus]", parts).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

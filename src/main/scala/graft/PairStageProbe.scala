@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage-attribution probe for the capped containment pipeline — times
+  * each stage of the `containmentPairsCapped` dataflow separately so a
+  * superlinear WALL reading on a leg pair can be pinned to the stage
+  * that produced it (round 12: sf10x -> sf20x wall grew 4.6x while
+  * every work witness — output pairs, candidate count, generation
+  * mass, a single-threaded DuckDB run of the same dataflow — grew
+  * ~2x; heap +56% and 5x shuffle partitions moved it < 10%, so the
+  * residual needed per-stage numbers, not more guesses).
+  *
+  * Stages: (1) shingle + persist; (2) df + histogram cap; (3) capped
+  * candidate self-join (distinct count); (4) hash-set build; (5) the
+  * verify join (intersection + threshold). Usage:
+  * `runMain graft.PairStageProbe <dir> [budget]`.
+  */
+object PairStageProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/sf10x_docs"
+    val budget = if (args.length > 1) args(1).toLong else 16L
+    val spark = GraftSession.local(GraftSession.envCpus)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe_stage":"$name","dir":"$dir","secs":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    CacheScope.scoped {
+      val docs = sources.Tables.load(spark, dir, "documents")
+      val sh = CacheScope.persist(text.Dedup.shingles(docs))
+      t("shingles_persist") { sh.count() }
+      val dfreq = CacheScope.persist(
+        sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
+      t("dfreq") { dfreq.count() }
+      val W = org.apache.spark.sql.expressions.Window
+      val nd = sh.agg(countDistinct(col("doc_id")).as("ndocs"))
+      val cap = dfreq.groupBy(col("df")).agg(count(lit(1)).as("c"))
+        .withColumn("cc", sum(col("c")).over(W.orderBy(col("df"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("cm", sum(col("c") * col("df") * (col("df") - 1) / 2)
+          .over(W.orderBy(col("df"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("nsh", sum(col("c")).over(W.orderBy(col("df"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        .crossJoin(broadcast(nd))
+        .agg(
+          min(when(col("cc") >= ceil(lit(0.99) * col("nsh")), col("df")))
+            .as("qcap"),
+          max(when(col("cm") <= lit(budget) * col("ndocs"), col("df")))
+            .as("mcap"))
+        .select(greatest(lit(10L),
+          least(col("qcap"), coalesce(col("mcap"), lit(10L)))).as("cap"))
+      t("cap_scalar") { cap.count() }
+      val a = sh.join(dfreq, "s").crossJoin(broadcast(cap))
+        .filter(col("df") <= col("cap")).alias("a")
+      val cands = CacheScope.persist(
+        a.join(sh.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct())
+      val nCands = t("candidates_distinct") { cands.count() }
+      println(s"""{"probe_info":"n_candidates","dir":"$dir","value":$nCands}""")
+      val hsets = CacheScope.persist(text.Dedup.docHashSetsProbe(sh))
+      t("hashsets_persist") { hsets.count() }
+      val n = t("verify") {
+        cands
+          .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
+            col("n").as("na")), Seq("da"))
+          .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
+            col("n").as("nb")), Seq("db"))
+          .withColumn("n_common",
+            size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .filter(col("n_common").cast("double") /
+            least(col("na"), col("nb")) >= 0.5)
+          .count()
+      }
+      println(s"""{"probe_info":"n_pairs","dir":"$dir","value":$n}""")
+      // broadcast variant: the hash-set frame is one bounded row per doc
+      // — broadcasting it makes BOTH verify joins map-only BHJs, so the
+      // wide candidate intermediate is never sorted or shuffled at all
+      val n2 = t("verify_broadcast") {
+        cands
+          .join(broadcast(hsets.select(col("doc_id").as("da"),
+            col("hs").as("ha"), col("n").as("na"))), Seq("da"))
+          .join(broadcast(hsets.select(col("doc_id").as("db"),
+            col("hs").as("hb"), col("n").as("nb"))), Seq("db"))
+          .withColumn("n_common",
+            size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .filter(col("n_common").cast("double") /
+            least(col("na"), col("nb")) >= 0.5)
+          .count()
+      }
+      println(s"""{"probe_info":"n_pairs_broadcast","dir":"$dir","value":$n2}""")
+    }
+    spark.stop()
+  }
+}

@@ -114,6 +114,23 @@ class Round12Spec extends SparkSuite {
     }
   }
 
+  test("pretrain capped twin: identical output where the cap is slack, no cartesian") {
+    graft.CacheScope.scoped {
+      val full = queries.Registry.all.find(_.name == "q_pretrain_full").get
+      val capped = queries.Registry.all.find(_.name == "q_pretrain_capped").get
+      val a = full.fn(spark, sf)
+      val b = capped.fn(spark, sf)
+      // at sf0.001 the containment-recall gate measures 1.0 (cap 10 >
+      // every biting df), so the two compositions must agree row-for-row
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      b.count()
+      val p = b.queryExecution.executedPlan.toString
+      // the cap scalar rides a broadcast — a CartesianProduct here would
+      // mean the one-row cap frame joined without the hint
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
+
   test("Outbound.shared stage paths are injective across colliding dirs") {
     // lossy sanitization alone maps both of these to 'target_sfX'
     assert(Outbound.sharedStagePath("target/sfX") !=
