@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.text.{Curation, Decontaminate, Dedup, TextAnalysis}
+import graft.text.{Curation, Decontaminate, Dedup, Distill, TextAnalysis}
 
 /** Corpus-curation fixtures over `documents`: dedup clustering
   * (connected components + canonical keepers), deterministic splits,
@@ -154,6 +154,107 @@ object CurationQueries {
          AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
          AND stop_hits >= 1) AS keep
       FROM m"""))
+
+  /** One GD iteration of the distilled-gate oracle: scores from the
+    * previous weight CTE (per-term 8 dp DECIMAL sums), 6 dp sigmoid
+    * residuals, mean gradient per bucket, 8 dp weight step — the exact
+    * trajectory `Distill.distillGate` walks (the kmeans / PageRank
+    * unrolled-iteration pattern). */
+  private def distillIter(i: Int, prev: String): String = raw"""
+      s$i AS (SELECT f.doc_id,
+                CAST(sum(CAST(round(f.x * w.w, 8) AS DECIMAL(20,8)))
+                  AS DOUBLE) AS s
+              FROM feats f JOIN $prev w USING (b) GROUP BY f.doc_id),
+      r$i AS (SELECT lab.doc_id,
+                round(1.0 / (1.0 + exp(-s)), 6) - y AS r
+              FROM lab JOIN s$i USING (doc_id)),
+      g$i AS (SELECT b,
+                round(CAST(sum(CAST(round(x * r, 8) AS DECIMAL(20,8)))
+                  AS DOUBLE) / CAST(ndocs AS DOUBLE), 8) AS g
+              FROM feats JOIN r$i USING (doc_id), nd GROUP BY b, ndocs),
+      w$i AS MATERIALIZED (
+              SELECT w.b, round(w.w - 16.0 * coalesce(g.g, 0.0), 8) AS w
+              FROM $prev w LEFT JOIN g$i g USING (b))"""
+
+  /** Gate distillation (the fastText-style quality-classifier pattern:
+    * CCNet, the LLaMA data pipeline): 20 batch-GD rounds of logistic
+    * regression on 64-bucket hashed unigram PRESENCE + 4 cheap scalar
+    * metric features against the Gopher gate as teacher, then one
+    * linear score per document. Hyper-parameters were probed, not
+    * guessed (DistillProbe): tf-weighted bags alone stay at the 0.904
+    * majority base rate at ANY learning rate; presence + metrics at
+    * (iters 20, lr 16) measures 0.952 accuracy at sf0.01. The oracle
+    * unrolls the identical trajectory — md5 buckets, DECIMAL per-term
+    * sums, 6 dp sigmoids, 8 dp weight steps — so a diverged gradient
+    * anywhere in 20 rounds hash-mismatches every score. */
+  private val distilled = Q("q_quality_distilled",
+    (s, dir) => Distill.distillGate(
+      Tables.load(s, dir, "documents"),
+      TextAnalysis.gopherMetrics(10, 1000, 2.0, 10.0, 0.2, 0.2).last,
+      dim = 64, iters = 20, lr = 16.0),
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS word_count,
+          CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS mean_word_len,
+          CAST(len(list_distinct(t)) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS distinct_ratio,
+          CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS top_token_frac,
+          ${TextQueries.hitsSql(TextAnalysis.enStops)} AS stop_hits
+        FROM toks),
+      lab AS MATERIALIZED (SELECT doc_id,
+          CAST(CASE WHEN word_count >= 10 AND word_count <= 1000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+            AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
+            AND stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM m),
+      tk AS (SELECT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+      ug AS (SELECT DISTINCT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                 % 64 AS INT) AS b
+             FROM tk),
+      feats AS MATERIALIZED (SELECT doc_id, b, 1.0 AS x FROM ug
+                UNION ALL
+                SELECT doc_id, -1 AS b, 1.0 AS x FROM documents
+                UNION ALL
+                SELECT doc_id, -2 AS b,
+                  round(ln(1.0 + CAST(len(t) AS DOUBLE)) / 10, 6) AS x
+                FROM toks
+                UNION ALL
+                SELECT doc_id, -3 AS b,
+                  round(CAST(len(list_distinct(t)) AS DOUBLE)
+                    / CAST(len(t) AS DOUBLE), 6) AS x
+                FROM toks
+                UNION ALL
+                SELECT doc_id, -4 AS b,
+                  round(CAST(list_max(list_transform(list_distinct(t),
+                      d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+                    / CAST(len(t) AS DOUBLE), 6) AS x
+                FROM toks
+                UNION ALL
+                SELECT doc_id, -5 AS b,
+                  round(CAST(${TextQueries.hitsSql(TextAnalysis.enStops)}
+                    AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS x
+                FROM toks),
+      nd AS MATERIALIZED (SELECT count(*) AS ndocs FROM documents),
+      w0 AS MATERIALIZED (
+        SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM feats),""" +
+      (1 to 20).map(i => distillIter(i, s"w${i - 1}")).mkString(",") + raw""",
+      sf AS (SELECT f.doc_id,
+               CAST(sum(CAST(round(f.x * w.w, 8) AS DECIMAL(20,8)))
+                 AS DOUBLE) AS s
+             FROM feats f JOIN w20 w USING (b) GROUP BY f.doc_id)
+      SELECT lab.doc_id, y AS label,
+        round(1.0 / (1.0 + exp(-s)), 6) AS score,
+        CAST(CASE WHEN round(1.0 / (1.0 + exp(-s)), 6) >= 0.5
+          THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+        CAST(CASE WHEN (CASE WHEN round(1.0 / (1.0 + exp(-s)), 6) >= 0.5
+            THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END AS BIGINT) AS correct
+      FROM lab JOIN sf USING (doc_id)"""))
 
   private val denyList = Seq("customer", "vector", "spark")
 
@@ -1027,5 +1128,5 @@ object CurationQueries {
     packScalable, packManifest, runCollapse, pretrainPipeline,
     pretrainFull, pretrainCapped, pagerank,
     sourceCap, profileTable, triangles, rankScale, tokenBudget,
-    weightedSample, dsir, mixTemperature)
+    weightedSample, dsir, mixTemperature, distilled)
 }

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gate distillation: train a linear (logistic-regression) scorer to
+  * mimic an expensive boolean quality gate, then score every document
+  * with one dot product — the fastText-style quality-classifier
+  * pattern (CCNet, LLaMA data pipeline): the teacher gate runs complex
+  * per-doc analysis; the student is a hashed-bag-of-words linear model
+  * cheap enough to score 100 TB.
+  *
+  * Fully deterministic dataflow so the oracle can walk the IDENTICAL
+  * trajectory (the [[graft.similarity.Kmeans]] / PageRank discipline):
+  * fixed iteration count, md5-derived feature buckets, per-term 8 dp
+  * rounding with DECIMAL(20,8) sums (partial-aggregation-order-exact),
+  * sigmoid rounded to 6 dp before it feeds anything downstream (also
+  * absorbs last-ulp exp() differences between engines), weights
+  * rounded to 8 dp per step.
+  *
+  * Scale shape: features are (doc, bucket) rows — one explode + one
+  * groupBy, the same volume as hashingTf; each GD iteration is one
+  * broadcast join (weights are ≤ dim+1 rows), one per-doc sum, one
+  * per-bucket sum — two key-partitioned shuffles over corpus-linear
+  * data, no all-pairs, no driver-side data loops (the loop is over the
+  * FIXED iteration count). Weight frames are localCheckpointed: they
+  * are re-read along several branches per round and exponential plan
+  * lineage — not job cost — is the failure mode (the round-12
+  * two-level-assignment lesson).
+  */
+object Distill {
+
+  /** Train `iters` batch-GD rounds of logistic regression against
+    * `label`, then emit per doc: (doc_id, label, score, predicted,
+    * correct). `lr` is the learning rate on the MEAN gradient.
+    *
+    * Features (the fastText-quality shape — a hashed token bag PLUS a
+    * handful of cheap one-pass scalar metrics; tf-weighted bags alone
+    * measured inseparable on the gate, all-majority at any lr):
+    * buckets 0..dim-1 hold unigram PRESENCE (1.0 if any token of the
+    * doc hashes there — presence beats tf here because a stopword's
+    * signal is its existence, not its share), and reserved negative
+    * buckets hold: -1 bias, -2 log-length ln(1+wc)/10, -3 distinct
+    * ratio, -4 top-token fraction, -5 stopword fraction. All are
+    * single-pass per-doc scalars — the student stays one cheap dot
+    * product per document at scoring time. */
+  def distillGate(docs: DataFrame, label: Column, dim: Int = 64,
+      iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(dim > 0 && iters > 0 && lr > 0, "distillGate needs dim, iters, lr > 0")
+    val lab = graft.CacheScope.persist(
+      docs.select(col("doc_id"), label.cast("long").as("y")))
+    val tk = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens).as("tok"))
+    val unigram = tk
+      .select(col("doc_id"),
+        pmod(graft.functions.Scalars.md5Long60(col("tok")), lit(dim.toLong))
+          .cast("int").as("b"))
+      .distinct()
+      .withColumn("x", lit(1.0))
+    val t = TextAnalysis.tokens
+    val wc = size(t).cast("long")
+    val metrics = docs.select(col("doc_id"), array(
+        struct(lit(-1).as("b"), lit(1.0).as("x")),
+        struct(lit(-2).as("b"),
+          round(log(lit(1.0) + wc.cast("double")) / 10, 6).as("x")),
+        struct(lit(-3).as("b"), round(size(array_distinct(t)).cast("double")
+          / wc.cast("double"), 6).as("x")),
+        struct(lit(-4).as("b"),
+          round(TextAnalysis.topTokenFrac(t).cast("double"), 6).as("x")),
+        struct(lit(-5).as("b"),
+          round(TextAnalysis.stopHits(t, TextAnalysis.enStops).cast("double")
+            / wc.cast("double"), 6).as("x"))).as("m"))
+      .select(col("doc_id"), explode(col("m")).as("f"))
+      .select(col("doc_id"), col("f.b").as("b"), col("f.x").as("x"))
+    val feats = graft.CacheScope.persist(unigram.unionByName(metrics))
+    val nd = docs.agg(count(lit(1)).as("ndocs"))
+
+    def scores(w: DataFrame): DataFrame =
+      feats.join(broadcast(w), "b")
+        .select(col("doc_id"),
+          round(col("x") * col("w"), 8).cast("decimal(20,8)").as("t"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("t")).cast("double").as("s"))
+    val sigmoid = round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
+
+    var w = feats.select(col("b")).distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val resid = lab.join(scores(w), Seq("doc_id"))
+        .select(col("doc_id"), (sigmoid - col("y")).as("r"))
+      val grad = feats.join(resid, "doc_id")
+        .select(col("b"),
+          round(col("x") * col("r"), 8).cast("decimal(20,8)").as("g"))
+        .groupBy(col("b"))
+        .agg(sum(col("g")).cast("double").as("gsum"))
+        .crossJoin(broadcast(nd))
+        .select(col("b"),
+          round(col("gsum") / col("ndocs").cast("double"), 8).as("g"))
+      w = w.join(grad, Seq("b"), "left")
+        .select(col("b"),
+          round(col("w") - lit(lr) * coalesce(col("g"), lit(0.0)), 8).as("w"))
+        .localCheckpoint()
+    }
+    lab.join(scores(w), Seq("doc_id"))
+      .select(col("doc_id"), col("y").as("label"), sigmoid.as("score"),
+        when(sigmoid >= 0.5, 1L).otherwise(0L).as("predicted"))
+      .withColumn("correct",
+        when(col("predicted") === col("label"), 1L).otherwise(0L))
+  }
+}
