@@ -45,6 +45,14 @@ object GraftSession {
       // 500k docs). 3min bounds that backlog; the forced GC itself is a
       // few ms on an idle-tenured heap.
       .config("spark.cleaner.periodicGC.interval", "3min")
+      // The adaptive broadcast dispatches (Dedup.verifyHashSets' 1.5 GB
+      // budget, the salted-join builds) estimate build sizes up to
+      // 1.5 GB; Spark's default driver.maxResultSize (1 GiB) sits BELOW
+      // that, so an explicit broadcast hint whose collect lands in the
+      // 1.07–1.5 GB band would kill the whole job instead of running
+      // the plan the dispatch chose. 4g keeps every fenced estimate
+      // under the collect ceiling with margin.
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session sized to `cpus` threads — the mains' form.
@@ -55,7 +63,15 @@ object GraftSession {
     * see the spill-aware sizing note in the builder scaladoc. */
   def local(cpus: Int): SparkSession = {
     val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-      .map(_.toInt).getOrElse(cpus)
+      .map { v =>
+        val n = try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive int, got '$v'")
+        }
+        require(n > 0,
+          s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be > 0, got $n")
+        n
+      }.getOrElse(cpus)
     val s = builder(s"local[$cpus]", parts).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -28,7 +28,9 @@ object PmiLegBench {
       val n = CacheScope.scoped {
         text.TextAnalysis.pmi(
           sources.Tables.load(spark, dir, "documents"),
-          topV = Some(topV)).count()
+          topV = Some(topV),
+          maxDfFrac = sys.env.get("SPARK_GRAFT_PMI_MAXDF").map(_.toDouble)
+            .orElse(Some(0.5))).count()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       times(dir) = times(dir) :+ secs

@@ -566,9 +566,44 @@ object SourceQueries {
       SELECT o_orderkey, op, o_orderstatus, o_totalprice
       FROM j WHERE op IS NOT NULL"""))
 
+  /** S5 (the last locally-buildable slice, verdict r12 #2): schema
+    * inference by BOUNDED SAMPLING — the Mongo sampling partitioner
+    * (`PUSH:78-81`, `sampleSize: 100000`) infers the collection schema
+    * from the first N sampled documents, then applies it to the full
+    * scan. The fixture makes the interesting semantic bite: the head
+    * (doc_id % 5 ≠ 0, ≥400 docs at every sf) carries base fields only;
+    * the tail file adds `leadid` + `extra_score`. With sampleSize=256
+    * the sample never leaves the head file, so the inferred schema
+    * misses both tail fields: tail docs still parse, `extra_score`
+    * vanishes (an extra output column would fail the schema check if
+    * inference ever leaked past the sample), and the `'leadid' in
+    * columns` runtime guard (`PUSH:206`) takes the ABSENT branch —
+    * null leadid for every row, including the tail docs that carried
+    * one in the raw JSON. A full-scan inference flips all three. */
+  private val docSampled = Q("q_s16_doc_sampled",
+    (s, dir) => {
+      val base = "/root/repo/target/stage/q_s16_doc_sampled"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.where(col("doc_id") % 5 =!= 0)
+        .coalesce(1).write.mode("overwrite").json(s"$base/coll/a_head")
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("leadid", concat(lit("L"), col("doc_id").cast("string")))
+        .withColumn("extra_score",
+          round(col("n_chars").cast("double") / 100.0, 2))
+        .coalesce(1).write.mode("overwrite").json(s"$base/coll/b_tail")
+      val read = graft.sources.DocCollection.readSampled(
+        s, s"$base/coll", sampleSize = 256L)
+      val guarded = graft.sources.DocCollection.withLeadidGuard(read)
+      guarded.select(guarded.columns.sorted.map(col).toIndexedSeq: _*)
+    },
+    Some("""
+      SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS leadid, n_chars, source
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, jsonPaged, csvSnapshot,
     jdbcSnapshot, partSink, catalog, partitions, reconcile, bucketed,
     schemaMerge, orcRoundtrip, jsonPath, compactSink, jsonCorrupt,
     prunedScan, calendarDim, binaryIngest, fileProvenance, variantLift,
-    pipeSyntax, snapshotDiff)
+    pipeSyntax, snapshotDiff, docSampled)
 }

@@ -557,16 +557,26 @@ object TextQueries {
     * corpus size. V=16 < the fixture's 31-token vocabulary, so the cap
     * BITES at every test sf and the oracle (which mirrors the histogram
     * walk clause by clause) hash-checks the capped semantics, not the
-    * uncapped ideal. */
+    * uncapped ideal.
+    *
+    * Round 13 adds the df-BAND prefilter (verdict r12 #4): tokens in
+    * more than half of all documents carry ≈0 PMI by definition but
+    * are present in every doc's pair explode — the residual 0.81/decade
+    * Zipf mass after the topV cap. `maxDfFrac = 0.5` drops that band
+    * BEFORE the histogram walk and the pairing; the oracle's dfreq CTE
+    * applies the identical band, so the hash pins band + cap together.
+    * df_a/df_b still report true corpus df for every kept token. */
   private val pmiCapped = Q("q_text_pmi_capped",
     (s, dir) => TextAnalysis.pmi(Tables.load(s, dir, "documents"),
-      topV = Some(16L)),
+      topV = Some(16L), maxDfFrac = Some(0.5)),
     Some(raw"""
       WITH toks0 AS (SELECT DISTINCT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         FROM documents),
       nd AS (SELECT count(*) AS n_docs FROM documents),
-      dfreq AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
+      dfreq0 AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
+      dfreq AS (SELECT tok, df FROM dfreq0, nd
+                WHERE CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * 0.5),
       hist AS (SELECT df, count(*) AS c FROM dfreq GROUP BY df),
       cum AS (SELECT df, sum(c) OVER (ORDER BY df DESC) AS cc FROM hist),
       dstar AS (SELECT coalesce(

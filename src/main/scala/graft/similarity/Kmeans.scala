@@ -135,9 +135,16 @@ object Kmeans {
             col("rg")))
       val m = vg.groupBy(col("vec_id"))
         .agg(min(col("dvs") + col("rg")).as("m"))
+      // slack scales with the magnitudes involved: l2sq via
+      // dot(a,a)-2dot(a,b)+dot(b,b) cancels catastrophically for
+      // large-|v| vectors (absolute error ~ulp(|v|^2)), so a fixed
+      // 1e-9 pad would under-admit there; eps*(dvs+rg+m+1) keeps the
+      // pad proportional to the distances being compared. Slack only
+      // ever ADMITS groups — the final arg-min below is exact — so
+      // widening cannot change the output, only the survivor count.
       val survivors = vg.join(m, "vec_id")
-        .filter(col("dvs") - col("rg") <=
-          col("m") * lit(1.000000001) + lit(1e-9))
+        .filter(col("dvs") - col("rg") <= col("m") +
+          lit(1e-9) * (col("dvs") + col("rg") + col("m") + lit(1.0)))
         .select(col("vec_id"), col("gid"))
       survivors.join(prepared, "vec_id")
         .join(broadcast(cg), Seq("gid"))

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Document-collection reader with BOUNDED-SAMPLE schema inference —
+  * the last testable S5 slice (SURVEY.md §2a): the reference reads
+  * DocumentDB through a sampling partitioner that infers the
+  * collection's schema from `sampleSize: 100000` sampled documents
+  * (`PUSH:78-81`), then applies that schema to the full scan. The
+  * consequence the fixture pins: a field that first appears BEYOND the
+  * sample horizon is absent from the inferred schema, so the full read
+  * silently drops it — which is why the reference immediately follows
+  * the read with runtime column introspection
+  * (`if 'leadid' in df_docdb.columns:` — `PUSH:206`, `CONN:57`) instead
+  * of trusting the schema.
+  *
+  * Scale shape: the sample is the smallest FILE-ALIGNED prefix of the
+  * collection (files in deterministic path order) whose document count
+  * reaches `sampleSize` — the driver loop touches O(sample) bytes and
+  * stops, never the corpus; the full scan then runs with the inferred
+  * schema applied (no second inference pass over 100 TB). Whole files,
+  * not a row limit: a row-limit sample under AQE picks
+  * scheduler-ordered rows, which would make the inferred schema — and
+  * every downstream hash — nondeterministic.
+  */
+object DocCollection {
+
+  /** Data files of the collection in deterministic (path-sorted) order;
+    * skips `_SUCCESS`/hidden files like the parquet committer does. */
+  private def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        files += f.getPath.toString
+    }
+    files.toSeq.sorted
+  }
+
+  /** Infer the collection schema from the smallest file-aligned prefix
+    * covering `sampleSize` documents (`PUSH:78-81` semantics). The
+    * per-file line counts are fenced driver scalars; the loop is
+    * bounded by the sample size, not the collection size. */
+  def inferSampledSchema(spark: SparkSession, path: String,
+      sampleSize: Long): StructType = {
+    require(sampleSize > 0, "inferSampledSchema needs sampleSize > 0")
+    var taken = Vector.empty[String]
+    var cnt = 0L
+    val it = dataFiles(spark, path).iterator
+    while (cnt < sampleSize && it.hasNext) {
+      val f = it.next()
+      taken = taken :+ f
+      cnt += spark.read.textFile(f).count()
+    }
+    require(taken.nonEmpty, s"no data files under $path")
+    spark.read.json(taken: _*).schema
+  }
+
+  /** Bounded-sample read: infer from the sample prefix, apply to the
+    * full scan. Documents whose extra fields the sample missed still
+    * parse (PERMISSIVE mode); those fields are silently absent — the
+    * documented sampling-partitioner behavior the fixture pins. */
+  def readSampled(spark: SparkSession, path: String,
+      sampleSize: Long): DataFrame =
+    spark.read.schema(inferSampledSchema(spark, path, sampleSize))
+      .option("recursiveFileLookup", "true") // collections nest shards
+      .json(path)
+
+  /** The reference's runtime column introspection (`PUSH:206`): the
+    * read schema can't be trusted after bounded-sample inference, so
+    * the leadid leg is chosen by looking at the ACTUAL columns —
+    * present: normalize to string; absent: carry an explicit null
+    * column so downstream document assembly keeps one shape. */
+  def withLeadidGuard(df: DataFrame): DataFrame =
+    if (df.columns.contains("leadid"))
+      df.withColumn("leadid", col("leadid").cast("string"))
+    else df.withColumn("leadid", lit(null).cast("string"))
+}

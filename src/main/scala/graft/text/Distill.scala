@@ -19,14 +19,13 @@ import org.apache.spark.sql.functions._
   * rounded to 8 dp per step.
   *
   * Scale shape: features are (doc, bucket) rows — one explode + one
-  * groupBy, the same volume as hashingTf; each GD iteration is one
-  * broadcast join (weights are ≤ dim+1 rows), one per-doc sum, one
-  * per-bucket sum — two key-partitioned shuffles over corpus-linear
-  * data, no all-pairs, no driver-side data loops (the loop is over the
-  * FIXED iteration count). Weight frames are localCheckpointed: they
-  * are re-read along several branches per round and exponential plan
-  * lineage — not job cost — is the failure mode (the round-12
-  * two-level-assignment lesson).
+  * groupBy, the same volume as hashingTf — cached hash-partitioned by
+  * doc_id with the label folded in; each GD iteration is then one
+  * map-only broadcast join (weights are ≤ dim+5 rows), a shuffle-free
+  * per-doc sum + residual off the cached partitioning, and ONE
+  * ≤ dim+5-key gradient reduce — corpus-linear, no all-pairs, no
+  * driver-side data loops (the loop is over the FIXED iteration
+  * count; the gradient collect is ≤ dim+5 aggregate rows).
   */
 object Distill {
 
@@ -47,8 +46,7 @@ object Distill {
   def distillGate(docs: DataFrame, label: Column, dim: Int = 64,
       iters: Int = 3, lr: Double = 1.0): DataFrame = {
     require(dim > 0 && iters > 0 && lr > 0, "distillGate needs dim, iters, lr > 0")
-    val lab = graft.CacheScope.persist(
-      docs.select(col("doc_id"), label.cast("long").as("y")))
+    val lab = docs.select(col("doc_id"), label.cast("long").as("y"))
     val tk = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens).as("tok"))
     val unigram = tk
@@ -72,15 +70,28 @@ object Distill {
             / wc.cast("double"), 6).as("x"))).as("m"))
       .select(col("doc_id"), explode(col("m")).as("f"))
       .select(col("doc_id"), col("f.b").as("b"), col("f.x").as("x"))
-    val feats = graft.CacheScope.persist(unigram.unionByName(metrics))
-    val nd = docs.agg(count(lit(1)).as("ndocs"))
+    // The label rides every feature row (ONE corpus join at build time
+    // instead of one per GD round), and the frame is hash-partitioned
+    // by doc_id ONCE before caching: the per-round score aggregation
+    // and the gradient join both key on doc_id, and the broadcast
+    // weight join is map-only and partitioning-preserving, so each
+    // round's whole dataflow reuses the cached partitioning — the only
+    // per-round shuffle left is the ≤ dim+5-key gradient reduce. (The
+    // round-12 shape re-shuffled feats by doc_id twice per round plus
+    // re-counted the corpus inside every gradient job: 18.0 s at
+    // sf0.1, 7.1% of the whole bench, all job floor.)
+    val feats = graft.CacheScope.persist(
+      unigram.unionByName(metrics).join(lab, "doc_id")
+        .repartition(col("doc_id")))
 
-    def scores(w: DataFrame): DataFrame =
+    // scores AND residual input in one aggregation pass: y is constant
+    // per doc, so max() re-emits it without a second join against lab
+    def scored(w: DataFrame): DataFrame =
       feats.join(broadcast(w), "b")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("y"),
           round(col("x") * col("w"), 8).cast("decimal(20,8)").as("t"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("t")).cast("double").as("s"))
+        .agg(sum(col("t")).cast("double").as("s"), max(col("y")).as("y"))
     val sigmoid = round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
 
     // model state lives on the DRIVER — the MLlib topology: the data
@@ -99,30 +110,42 @@ object Distill {
         org.apache.spark.sql.types.DoubleType)))
     def round8(v: Double): Double =
       BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def wDf(m: Map[Int, Double]): DataFrame =
+    // LocalRelation, not parallelize: broadcast of a local frame
+    // happens driver-side with zero Spark jobs, where the RDD form
+    // paid a one-task collect job per broadcast (2 per round)
+    def wDf(m: Map[Int, Double]): DataFrame = {
+      import scala.jdk.CollectionConverters._
       spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          m.toSeq.sortBy(_._1).map { case (b, v) =>
-            org.apache.spark.sql.Row(b, v) }, 1), schema)
+        m.toSeq.sortBy(_._1).map { case (b, v) =>
+          org.apache.spark.sql.Row(b, v) }.asJava, schema)
+    }
+    // corpus size as a fenced driver scalar, computed ONCE — the
+    // crossJoin(broadcast(one-row-agg)) form re-counted the corpus
+    // inside every round's gradient job
+    val ndocs = docs.count().toDouble
     var wMap: Map[Int, Double] =
       feats.select(col("b")).distinct().collect()
         .map(r => r.getInt(0) -> 0.0).toMap
     for (_ <- 1 to iters) {
-      val resid = lab.join(scores(wDf(wMap)), Seq("doc_id"))
+      val resid = scored(wDf(wMap))
         .select(col("doc_id"), (sigmoid - col("y")).as("r"))
-      val grads = feats.join(resid, "doc_id")
+      // shuffle-hash, not sort-merge: both sides are already
+      // hash(doc_id)-partitioned (feats from the cache, resid from its
+      // aggregation), so the hint swaps the per-round re-SORT of the
+      // corpus-sized feature frame for a partition-local hash build on
+      // the one-row-per-doc residual side — no broadcast, no exchange
+      val grads = feats.join(resid.hint("shuffle_hash"), "doc_id")
         .select(col("b"),
           round(col("x") * col("r"), 8).cast("decimal(20,8)").as("g"))
         .groupBy(col("b"))
         .agg(sum(col("g")).cast("double").as("gsum"))
-        .crossJoin(broadcast(nd))
         .select(col("b"),
-          round(col("gsum") / col("ndocs").cast("double"), 8).as("g"))
+          round(col("gsum") / lit(ndocs), 8).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       wMap = wMap.map { case (b, v) =>
         b -> round8(v - lr * grads.getOrElse(b, 0.0)) }
     }
-    lab.join(scores(wDf(wMap)), Seq("doc_id"))
+    scored(wDf(wMap))
       .select(col("doc_id"), col("y").as("label"), sigmoid.as("score"),
         when(sigmoid >= 0.5, 1L).otherwise(0L).as("predicted"))
       .withColumn("correct",

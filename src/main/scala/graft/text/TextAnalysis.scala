@@ -285,14 +285,34 @@ object TextAnalysis {
     *   or out). Distinct pair keys ≤ C(V,2) — constant in corpus size.
     */
   def pmi(docs: DataFrame, minPairDf: Long = 5,
-      topV: Option[Long] = None): DataFrame = {
+      topV: Option[Long] = None,
+      maxDfFrac: Option[Double] = None): DataFrame = {
     val toks0 = graft.CacheScope.persist(
       docs.select(col("doc_id"), explode(tokens).as("tok")).distinct())
     val nd = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = graft.CacheScope.persist(
+    val dfreqAll = graft.CacheScope.persist(
       toks0.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+    // df-band prefilter: a token in more than maxDfFrac of all
+    // documents co-occurs with essentially everything — its PMI is ≈0
+    // by definition — yet it contributes the LARGEST per-doc pair
+    // explode (present in every doc, it pairs with every other kept
+    // token, every time). Dropping the band top cuts the dominant
+    // slice of pair-row mass without touching any pair a collocation
+    // miner would keep; df_a/df_b lookups below still report the true
+    // corpus df of every kept token.
+    val dfreq = maxDfFrac match {
+      case None => dfreqAll
+      case Some(a) =>
+        dfreqAll.crossJoin(broadcast(nd))
+          .filter(col("df").cast("double") <=
+            col("n_docs").cast("double") * lit(a))
+          .select(col("tok"), col("df"))
+    }
     val toks = topV match {
-      case None => toks0
+      case None =>
+        if (maxDfFrac.isEmpty) toks0
+        else toks0.join(dfreq.select(col("tok")), Seq("tok"), "left_semi")
+          .select(col("doc_id"), col("tok"))
       case Some(v) =>
         val w = org.apache.spark.sql.expressions.Window
         val dstar = dfreq.groupBy(col("df")).agg(count(lit(1)).as("c"))

@@ -61,7 +61,8 @@ class Round12Spec extends SparkSuite {
           sqrt(greatest(l2("e", "sv"), lit(0.0))).as("dvs"), col("rg"))
       val m = vg.groupBy(col("vec_id")).agg(min(col("dvs") + col("rg")).as("m"))
       val candMass = vg.join(m, "vec_id")
-        .filter(col("dvs") - col("rg") <= col("m") * lit(1.000000001) + lit(1e-9))
+        .filter(col("dvs") - col("rg") <= col("m") +
+          lit(1e-9) * (col("dvs") + col("rg") + col("m") + lit(1.0)))
         .join(cg, "gid")
         .agg(sum(col("gsz"))).collect()(0).getLong(0)
       assert(candMass < n * k,
@@ -81,7 +82,8 @@ class Round12Spec extends SparkSuite {
       // path's plan never mentions them
       val plan = out.queryExecution.executedPlan.toString
       assert(!plan.contains("dvs") && !plan.contains("rg#"),
-        "k=8 must take the flat path (no super-distance bound stage)")
+        "n*k below workBudget must dispatch the flat path " +
+          "(no super-distance bound stage)")
     }
   }
 
