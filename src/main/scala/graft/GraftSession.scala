@@ -73,6 +73,15 @@ object GraftSession {
         n
       }.getOrElse(cpus)
     val s = builder(s"local[$cpus]", parts).getOrCreate()
+    // Streaming state-store provider A/B knob (BENCH_STREAM harness):
+    // the default HDFS-backed provider keeps every version of state on
+    // the executor heap, which is the bottleneck the moment state
+    // outgrows memory; RocksDB keeps state off-heap with incremental
+    // checkpoints. Set to the provider FQCN to pin the whole family
+    // (transformWithState already forces RocksDB for itself — Spark 4
+    // requires it there).
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     s.sparkContext.setLogLevel("WARN")
     s
   }
