@@ -14,6 +14,16 @@ object Explain {
     wanted.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // the flagship's SemDeDup assignment dispatches two-level only
+      // past the measured n·k work budget, so the registered plan at a
+      // test sf is the (correct) flat pass; print the FORCED two-level
+      // twin too — output is provably identical (Round12Spec), this is
+      // the 100 TB plan shape
+      if (name == "q_flagship_curation") {
+        println(s"\n===== $name [forceTwoLevel] =====")
+        Flagship.curationPipeline(spark, sfDir, forceTwoLevel = true)
+          .explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -163,4 +163,61 @@ object Flagship {
     Documents.nullifyStructWhen(doc, "enrollmentDetails",
       col("purchaseDetails.status") === lit("O"))
   }
+
+  /** The 100 TB LLM-corpus curation flagship — the round-12 operators
+    * composed end-to-end as THE default operating path (verdict r12
+    * #5), each in its scale mode:
+    * (1–4) the shared lexical ladder ([[graft.text.Pipelines
+    *       .lexicalClean]]) with the CAPPED containment candidate pass
+    *       — candidate mass ≤ 128·n_docs by construction;
+    * (5)   SemDeDup on the survivors' embeddings — the assignment
+    *       dispatches the exact two-level path once flat n·k work
+    *       crosses the measured budget (`forceTwoLevel` pins it for
+    *       plan inspection; output is provably identical, Round12Spec);
+    *       documents without an embedding pass through, like the
+    *       modality-agreement audit;
+    * (6)   the DISTILLED quality gate in its production shape: the
+    *       Gopher teacher labels a bounded sample (doc_id % 4 — the
+    *       student trains on O(sample), not O(corpus)), and the learned
+    *       ≤ dim+5-double vector scores the survivors with one
+    *       broadcast join + one per-doc sum;
+    * (7)   deterministic-hash sequence packing.
+    * Full/exact modes remain the oracle-gated twins
+    * (`q_pretrain_full`, `q_quality_distilled`). */
+  def curationPipeline(spark: SparkSession, dir: String,
+      forceTwoLevel: Boolean = false): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // localCheckpoint, not persist, at the two composition seams: the
+    // downstream stages re-reference these frames along MANY branches
+    // (clean feeds the semantic filter, the anti join, and — through
+    // corpus — scoring, gating, and packing), so carrying full lineage
+    // duplicates the whole upstream subtree per branch — measured as a
+    // 2 GB plan STRING and driver-heap death at sf0.01 before the cut.
+    // The checkpoint truncates each branch at an RDD-scan stub (the
+    // same fix as assignTwoLevel's, and the dataflow twin of the
+    // reference's stage-out-and-re-read lineage cut, `PUSH:227-229`).
+    val clean = graft.text.Pipelines.lexicalClean(docs, capped = true)
+      .localCheckpoint()
+    // stage 5: semantic near-dup drop on the survivors' embeddings
+    val emb = Tables.load(spark, dir, "embeddings")
+    val embSurv = emb.join(clean.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val (fb, wb) = if (forceTwoLevel) (0L, 0.0) else (64L, 4e8)
+    val semDrop = graft.similarity.SemDedup
+      .semDedup(embSurv, k = 8, iters = 2, tau = 0.35, fb, wb)
+      .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+    val corpus = clean.join(semDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // stage 6: distilled gate — train on the teacher-labeled sample,
+    // score the survivors (the probed hyperparameters: 20 rounds, lr 16)
+    val w = graft.text.Distill.trainGate(
+      docs.where(col("doc_id") % 4 === 0),
+      graft.text.TextAnalysis.gopherMetrics(
+        10, 1000, 2.0, 10.0, 0.2, 0.2).last,
+      dim = 64, iters = 20, lr = 16.0)
+    val keepIds = graft.text.Distill.scoreGate(corpus, w, dim = 64)
+      .filter(col("predicted") === 1L).select(col("doc_id"))
+    val gated = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+    graft.text.Curation.packSequencesScalable(gated, seqLen = 128)
+  }
 }

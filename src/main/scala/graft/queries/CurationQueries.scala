@@ -36,14 +36,9 @@ object CurationQueries {
     Some(componentsCte + "\n      SELECT doc_id, component FROM comp"))
 
   /** Same 0.6·distinct_ratio + 0.4·(1−stop_ratio) score the
-    * oracle-proven `q_text_quality` uses. */
-  private val qualityCol = {
-    val t = TextAnalysis.tokens
-    val tc = size(t).cast("long")
-    lit(0.6) * (size(array_distinct(t)).cast("long") / tc) +
-      lit(0.4) * (lit(1.0) -
-        TextAnalysis.stopHits(t, TextAnalysis.enStops).cast("long") / tc)
-  }
+    * oracle-proven `q_text_quality` uses (shared via TextAnalysis so
+    * the flagship composition can't drift from it). */
+  private val qualityCol = TextAnalysis.qualityScore
 
   private val qualitySqlExpr =
     s"0.6 * (CAST(len(list_distinct(t)) AS BIGINT) / CAST(len(t) AS BIGINT)) + " +
@@ -704,51 +699,11 @@ object CurationQueries {
   private def pretrainBody(capped: Boolean)(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
       val docs = Tables.load(s, dir, "documents")
-      val corpus0 = graft.CacheScope.persist(
-        docs.where(col("source") =!= "src0"))
-      // signal 1: containment pairs → drop the smaller side
-      // (withSizes: the pair frame already carries the exact set sizes,
-      // so no re-aggregation of the shingle frame is needed here)
-      val shC = graft.CacheScope.persist(Dedup.shingles(corpus0))
-      val cpairs =
-        if (capped) Dedup.containmentPairsCapped(shC, 0.9, withSizes = true)
-        else Dedup.prefixContainmentPairs(shC, 0.9, withSizes = true)
-      val cdrops = cpairs
-        .select(when(col("na") < col("nb"), col("da"))
-          .when(col("nb") < col("na"), col("db"))
-          .otherwise(greatest(col("da"), col("db"))).as("doc_id"))
-      // signal 2: mostly-copied text (repeated-span profile)
-      val spanDrops = Dedup.repeatedSpanProfile(corpus0, k = 8)
-        .filter(col("mostly_dup")).select(col("doc_id"))
-      val corpus1 = graft.CacheScope.persist(
-        corpus0.join(cdrops.unionByName(spanDrops).distinct(),
-          Seq("doc_id"), "left_anti"))
-      // stage 3: cluster-level near-dup on the survivors. Shingling is
-      // per-document, so shingles(corpus1) ≡ the stage-1 frame filtered
-      // to the survivors — one semi join on the CACHED shC instead of a
-      // second tokenize + explode + distinct over the corpus
-      val sh1 = shC.join(corpus1.select(col("doc_id")), Seq("doc_id"),
-        "left_semi")
-      val cc = Dedup.connectedComponents(Dedup.lshCandidates(
-        Dedup.minhashSignatures(sh1))
-        .select(col("da"), col("db")))
-      // keepers persisted: consumed by corpus2 twice (decontamination
-      // profile + final anti join) and by the stage-4 shingle filter
-      val keepers = graft.CacheScope.persist(
-        Dedup.canonicalPerCluster(corpus1, cc, qualityCol)
-          .select(col("keep_id").as("doc_id")))
-      val corpus2 = corpus1.join(keepers, "doc_id")
-      val bench = docs.where(col("source") === "src0")
-      // stage 4: decontamination probes the SAME cached shingle frame
-      // (keepers ⊆ corpus1 ⊆ corpus0, so the semi join is exactly
-      // shingles(corpus2)); removal is the same anti join as
-      // Decontaminate.removeContaminated
-      val contaminated = Decontaminate.contaminationFromShingles(
-          shC.join(keepers, Seq("doc_id"), "left_semi"), bench,
-          n = 3, rateThreshold = 0.2)
-        .filter(col("is_contaminated") === 1L)
-        .select(col("doc_id"))
-      val clean = corpus2.join(contaminated, Seq("doc_id"), "left_anti")
+      // stages 1-4 are the shared lexical ladder (graft.text.Pipelines:
+      // capped/exact containment → span gate → LSH/CC canonical →
+      // decontamination) — factored so the flagship composition and the
+      // pretrain twins cannot drift on thresholds or join kinds
+      val clean = graft.text.Pipelines.lexicalClean(docs, capped)
       val gated = clean
         .withColumn("keep", TextAnalysis.gopherMetrics(
           10, 1000, 2.0, 10.0, 0.2, 0.2).last)
@@ -784,7 +739,11 @@ object CurationQueries {
                JOIN sh0 b ON b.doc_id = c.db AND b.s = a.s
                GROUP BY 1, 2),"""
 
-  private def pretrainSql(kcom: String): String =
+  /** Stages 1-4 of the pretrain/flagship oracle (ends at the `clean`
+    * doc-id CTE — the lexical ladder `Pipelines.lexicalClean` mirrors):
+    * containment drop (capped/exact per `kcom`), span gate, LSH/CC
+    * canonical, decontamination. */
+  private def curationCleanSql(kcom: String): String =
     TextQueries.lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + raw""",
       c0 AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
       sh0 AS (SELECT sh.doc_id, sh.s FROM sh JOIN c0 USING (doc_id)),
@@ -846,7 +805,29 @@ object CurationQueries {
                FROM csh c LEFT JOIN bsh b USING (hh) GROUP BY 1),
       clean AS (SELECT k.doc_id FROM keep k
                 WHERE k.doc_id NOT IN (SELECT doc_id FROM cont
-                  WHERE CAST(hits AS DOUBLE) / n >= 0.2)),
+                  WHERE CAST(hits AS DOUBLE) / n >= 0.2))"""
+
+  /** Deterministic-hash sequence packing over the doc-id CTE `src`
+    * plus the final projection — the shared oracle tail. */
+  private def packTailSql(src: String): String = raw""",
+      ptoks AS (SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          $bucketSqlFull AS h
+        FROM toks JOIN $src USING (doc_id)),
+      pcum AS (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset
+        FROM ptoks),
+      ppk AS (SELECT doc_id, n_tokens, start_offset,
+          start_offset // 128 AS seq_first,
+          (start_offset + greatest(n_tokens, 1) - 1) // 128 AS seq_last
+        FROM pcum)
+      SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
+        seq_last - seq_first + 1 AS n_seqs
+      FROM ppk"""
+
+  private def pretrainSql(kcom: String): String =
+    curationCleanSql(kcom) + raw""",
       gm AS (SELECT toks.doc_id,
           CAST(len(t) AS BIGINT) AS word_count,
           CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
@@ -862,22 +843,7 @@ object CurationQueries {
         WHERE word_count >= 10 AND word_count <= 1000
           AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
           AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
-          AND stop_hits >= 1),
-      ptoks AS (SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-          $bucketSqlFull AS h
-        FROM toks JOIN gated USING (doc_id)),
-      pcum AS (SELECT doc_id, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-            AS start_offset
-        FROM ptoks),
-      ppk AS (SELECT doc_id, n_tokens, start_offset,
-          start_offset // 128 AS seq_first,
-          (start_offset + greatest(n_tokens, 1) - 1) // 128 AS seq_last
-        FROM pcum)
-      SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
-        seq_last - seq_first + 1 AS n_seqs
-      FROM ppk"""
+          AND stop_hits >= 1)""" + packTailSql("gated")
 
   private val pretrainFull = Q("q_pretrain_full",
     pretrainBody(capped = false), Some(pretrainSql(kcomExact)))
@@ -892,6 +858,139 @@ object CurationQueries {
     * end-to-end through the five downstream stages. */
   private val pretrainCapped = Q("q_pretrain_capped",
     pretrainBody(capped = true), Some(pretrainSql(kcomCapped)))
+
+  /** Hashed-presence + scalar-metric feature CTEs for a distill chain,
+    * prefixed `p`, over the doc-id CTE `ids` — the SQL twin of
+    * `Distill.rawFeatures` restricted to a document set. Requires the
+    * global `toks` CTE. */
+  private def distillFeatsSql(p: String, ids: String): String = raw"""
+      ${p}tk AS (SELECT toks.doc_id, tok
+                 FROM toks JOIN $ids USING (doc_id), unnest(t) AS u(tok)),
+      ${p}ug AS (SELECT DISTINCT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                 % 64 AS INT) AS b
+             FROM ${p}tk),
+      ${p}feats AS MATERIALIZED (
+                SELECT doc_id, b, 1.0 AS x FROM ${p}ug
+                UNION ALL
+                SELECT doc_id, -1 AS b, 1.0 AS x FROM $ids
+                UNION ALL
+                SELECT toks.doc_id, -2 AS b,
+                  round(ln(1.0 + CAST(len(t) AS DOUBLE)) / 10, 6) AS x
+                FROM toks JOIN $ids USING (doc_id)
+                UNION ALL
+                SELECT toks.doc_id, -3 AS b,
+                  round(CAST(len(list_distinct(t)) AS DOUBLE)
+                    / CAST(len(t) AS DOUBLE), 6) AS x
+                FROM toks JOIN $ids USING (doc_id)
+                UNION ALL
+                SELECT toks.doc_id, -4 AS b,
+                  round(CAST(list_max(list_transform(list_distinct(t),
+                      d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+                    / CAST(len(t) AS DOUBLE), 6) AS x
+                FROM toks JOIN $ids USING (doc_id)
+                UNION ALL
+                SELECT toks.doc_id, -5 AS b,
+                  round(CAST(${TextQueries.hitsSql(TextAnalysis.enStops)}
+                    AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS x
+                FROM toks JOIN $ids USING (doc_id))"""
+
+  /** One GD iteration of a PREFIXED distill chain (lr = 16): same
+    * trajectory as [[distillIter]] over `${p}feats`/`${p}lab`/`${p}nd`. */
+  private def distillIterP(p: String, i: Int, prev: String): String = raw"""
+      ${p}s$i AS (SELECT f.doc_id,
+                CAST(sum(CAST(round(f.x * w.w, 8) AS DECIMAL(20,8)))
+                  AS DOUBLE) AS s
+              FROM ${p}feats f JOIN $prev w USING (b) GROUP BY f.doc_id),
+      ${p}r$i AS (SELECT lab.doc_id,
+                round(1.0 / (1.0 + exp(-s)), 6) - y AS r
+              FROM ${p}lab lab JOIN ${p}s$i USING (doc_id)),
+      ${p}g$i AS (SELECT b,
+                round(CAST(sum(CAST(round(x * r, 8) AS DECIMAL(20,8)))
+                  AS DOUBLE) / CAST(ndocs AS DOUBLE), 8) AS g
+              FROM ${p}feats JOIN ${p}r$i USING (doc_id), ${p}nd
+              GROUP BY b, ndocs),
+      ${p}w$i AS MATERIALIZED (
+              SELECT w.b, round(w.w - 16.0 * coalesce(g.g, 0.0), 8) AS w
+              FROM $prev w LEFT JOIN ${p}g$i g USING (b))"""
+
+  /** The flagship oracle: the capped lexical ladder to `clean`, the
+    * SemDeDup trajectory over the FILTERED embedding set (seeds are
+    * survivors with vec_id < 8 — the filtered-input seeding
+    * `Kmeans.fit` does), the 20-round distill trajectory trained on
+    * the doc_id % 4 sample, one scoring pass over the survivors, and
+    * the packing tail. Every stage's CTE group mirrors its registered
+    * single-stage oracle; only the WIRING (which set feeds which
+    * stage) is new — exactly what the composition query pins. */
+  private def flagshipSql: String =
+    // toks and clean are referenced ~20+ times across the composed
+    // stages; unmaterialized, DuckDB inlines a fresh parquet scan +
+    // re-tokenization per reference (measured: file-handle exhaustion
+    // at 20k ulimit before any wrong answer)
+    curationCleanSql(kcomCapped)
+      .replaceFirst("toks AS \\(", "toks AS MATERIALIZED (")
+      .replaceFirst("clean AS \\(", "clean AS MATERIALIZED (") + raw""",
+      vp AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             WHERE vec_id IN (SELECT doc_id FROM clean)),
+      vc0 AS (SELECT vec_id AS cid, e AS cv FROM vp WHERE vec_id < 8),
+      va1 AS ${SimilarityQueries.kmAssign("vc0", "vp")},
+      vc1 AS ${SimilarityQueries.kmRecenter("va1", "vp")},
+      va2 AS ${SimilarityQueries.kmAssign("vc1", "vp")},
+      vc2 AS ${SimilarityQueries.kmRecenter("va2", "vp")},
+      vaf AS ${SimilarityQueries.kmAssign("(SELECT cid, cv FROM vc2)", "vp")},
+      vpn AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+              FROM vp),
+      vj AS (SELECT vaf.vec_id, vaf.cid, vpn.e, vpn.nrm
+             FROM vaf JOIN vpn USING (vec_id)),
+      vdom AS (SELECT b.vec_id FROM vj a JOIN vj b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id
+               WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35
+               GROUP BY b.vec_id),
+      c3 AS MATERIALIZED (SELECT doc_id FROM clean
+             WHERE doc_id NOT IN (SELECT vec_id FROM vdom)),
+      dsamp AS MATERIALIZED (
+        SELECT doc_id FROM documents WHERE doc_id % 4 = 0),""" +
+    distillFeatsSql("d", "dsamp") + raw""",
+      dgm AS (SELECT toks.doc_id,
+          CAST(len(t) AS BIGINT) AS word_count,
+          CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS mean_word_len,
+          CAST(len(list_distinct(t)) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS distinct_ratio,
+          CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS BIGINT)
+            / CAST(len(t) AS BIGINT) AS top_token_frac,
+          ${TextQueries.hitsSql(TextAnalysis.enStops)} AS stop_hits
+        FROM toks JOIN dsamp USING (doc_id)),
+      dlab AS MATERIALIZED (SELECT doc_id,
+          CAST(CASE WHEN word_count >= 10 AND word_count <= 1000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+            AND distinct_ratio >= 0.2 AND top_token_frac <= 0.2
+            AND stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM dgm),
+      dnd AS MATERIALIZED (SELECT count(*) AS ndocs FROM dsamp),
+      dw0 AS MATERIALIZED (
+        SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM dfeats),""" +
+    (1 to 20).map(i => distillIterP("d", i, s"dw${i - 1}")).mkString(",") +
+    "," + distillFeatsSql("s", "c3") + raw""",
+      ssc AS (SELECT f.doc_id,
+                CAST(sum(CAST(round(f.x * w.w, 8) AS DECIMAL(20,8)))
+                  AS DOUBLE) AS s
+              FROM sfeats f JOIN dw20 w USING (b) GROUP BY f.doc_id),
+      fgated AS (SELECT doc_id FROM ssc
+                 WHERE round(1.0 / (1.0 + exp(-s)), 6) >= 0.5)""" +
+    packTailSql("fgated")
+
+  /** The end-to-end curation flagship (verdict r12 #5): capped
+    * containment + span gate + LSH/CC canonical + decontamination +
+    * SemDeDup (two-level-capable assignment) + the DISTILLED gate in
+    * its train-on-sample / score-the-corpus production shape +
+    * packing — every round-12 operator wired into one composition,
+    * hash-checked end to end. `SparkEntry.entry` runs this same
+    * composition (audit-stamped onto the prospect build). */
+  private val flagshipCuration = Q("q_flagship_curation",
+    (s, dir) => graft.Flagship.curationPipeline(s, dir),
+    Some(flagshipSql))
 
   /** Consecutive-token run collapse (repetition scrub) — removal counts,
     * ratio, and the md5 of the cleaned text are all hash-checked. */
@@ -1126,7 +1225,7 @@ object CurationQueries {
     gopher, scrub, incremental, rebalance, tfidf, dedupPipeline,
     curationPipeline, decontaminate, decontaminateBloom, pack,
     packScalable, packManifest, runCollapse, pretrainPipeline,
-    pretrainFull, pretrainCapped, pagerank,
+    pretrainFull, pretrainCapped, flagshipCuration, pagerank,
     sourceCap, profileTable, triangles, rankScale, tokenBudget,
     weightedSample, dsir, mixTemperature, distilled)
 }

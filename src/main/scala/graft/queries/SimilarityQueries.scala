@@ -263,24 +263,27 @@ object SimilarityQueries {
       WHERE rank <= 10"""))
 
   /** One Lloyd assignment round in oracle SQL: nearest centroid from
-    * `cSrc`, ties on cid — the same expression tree as `Kmeans.assign`. */
-  private def kmAssign(cSrc: String): String = s"""
+    * `cSrc`, ties on cid — the same expression tree as `Kmeans.assign`.
+    * `pSrc` names the prepared-vector CTE (vec_id, e) so composed
+    * oracles (the curation flagship) can run the trajectory over a
+    * FILTERED vector set without CTE-name collisions. */
+  private[queries] def kmAssign(cSrc: String, pSrc: String = "p"): String = s"""
       (SELECT vec_id, cid FROM (
         SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
           ORDER BY list_inner_product(p.e, p.e)
             - 2 * list_inner_product(p.e, c.cv)
             + list_inner_product(c.cv, c.cv), c.cid) AS rn
-        FROM p, $cSrc c) WHERE rn = 1)"""
+        FROM $pSrc p, $cSrc c) WHERE rn = 1)"""
 
   /** One recenter round in oracle SQL: per-(cluster, dim) decimal-exact
     * means re-assembled into ordered centroid lists. */
-  private def kmRecenter(aSrc: String): String = s"""
+  private[queries] def kmRecenter(aSrc: String, pSrc: String = "p"): String = s"""
       (SELECT cid, list(m ORDER BY pos) AS cv, max(n) AS n_members FROM
         (SELECT cid, pos,
            CAST(sum(CAST(e[pos] AS DECIMAL(24,12))) AS DOUBLE) / count(*)
              AS m,
            count(*) AS n
-         FROM $aSrc a JOIN p USING (vec_id),
+         FROM $aSrc a JOIN $pSrc p USING (vec_id),
            unnest(range(1, len(e) + 1)) AS u(pos)
          GROUP BY cid, pos)
        GROUP BY cid)"""

@@ -36,14 +36,16 @@ object SemDedup {
   /** Per-vector dedup verdict: (vec_id, cid, kept_for, n_dominators,
     * keep) — `kept_for` is the smallest same-cluster id within `tau`
     * cosine (NULL for keepers), `n_dominators` counts them. */
-  def semDedup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+  def semDedup(emb: DataFrame, k: Int, iters: Int, tau: Double,
+      flatBelow: Long = 64L, workBudget: Double = 4e8): DataFrame = {
     require(tau > 0 && tau <= 1, "tau in (0, 1]")
     val cents = Kmeans.fit(emb, k, iters).select(col("cid"), col("cv"))
     // persisted: the two-level path reads the prepared frame three times
     // (super distances, survivors, final arg-min) plus the asg join here
     val p = graft.CacheScope.persist(Knn.prepared(emb))
     val asg = graft.CacheScope.persist(
-      Kmeans.assignTwoLevel(p, cents).join(p, "vec_id"))
+      Kmeans.assignTwoLevel(p, cents, flatBelow, workBudget)
+        .join(p, "vec_id"))
     val a = asg.select(col("cid"), col("vec_id").as("va"),
       col("e").as("qe"), col("nrm").as("qn"))
     val b = asg.select(col("cid"), col("vec_id").as("vb"),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Gate distillation: train a linear (logistic-regression) scorer to
@@ -26,14 +26,18 @@ import org.apache.spark.sql.functions._
   * ≤ dim+5-key gradient reduce — corpus-linear, no all-pairs, no
   * driver-side data loops (the loop is over the FIXED iteration
   * count; the gradient collect is ≤ dim+5 aggregate rows).
+  *
+  * Train and score are SEPARATE entry points ([[trainGate]] /
+  * [[scoreGate]]) because that is the production shape: the teacher
+  * gate runs on a bounded labeled sample, the learned ≤ dim+5-double
+  * weight vector ships to the driver, and scoring the remaining
+  * 100 TB is one broadcast join + one per-doc sum per document —
+  * no iteration touches the full corpus. [[distillGate]] composes
+  * the two over one input for the oracle-gated registered query.
   */
 object Distill {
 
-  /** Train `iters` batch-GD rounds of logistic regression against
-    * `label`, then emit per doc: (doc_id, label, score, predicted,
-    * correct). `lr` is the learning rate on the MEAN gradient.
-    *
-    * Features (the fastText-quality shape — a hashed token bag PLUS a
+  /** Features (the fastText-quality shape — a hashed token bag PLUS a
     * handful of cheap one-pass scalar metrics; tf-weighted bags alone
     * measured inseparable on the gate, all-majority at any lr):
     * buckets 0..dim-1 hold unigram PRESENCE (1.0 if any token of the
@@ -42,11 +46,8 @@ object Distill {
     * buckets hold: -1 bias, -2 log-length ln(1+wc)/10, -3 distinct
     * ratio, -4 top-token fraction, -5 stopword fraction. All are
     * single-pass per-doc scalars — the student stays one cheap dot
-    * product per document at scoring time. */
-  def distillGate(docs: DataFrame, label: Column, dim: Int = 64,
-      iters: Int = 3, lr: Double = 1.0): DataFrame = {
-    require(dim > 0 && iters > 0 && lr > 0, "distillGate needs dim, iters, lr > 0")
-    val lab = docs.select(col("doc_id"), label.cast("long").as("y"))
+    * product per document at scoring time. Output: (doc_id, b, x). */
+  private def rawFeatures(docs: DataFrame, dim: Int): DataFrame = {
     val tk = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens).as("tok"))
     val unigram = tk
@@ -70,64 +71,71 @@ object Distill {
             / wc.cast("double"), 6).as("x"))).as("m"))
       .select(col("doc_id"), explode(col("m")).as("f"))
       .select(col("doc_id"), col("f.b").as("b"), col("f.x").as("x"))
-    // The label rides every feature row (ONE corpus join at build time
-    // instead of one per GD round), and the frame is hash-partitioned
-    // by doc_id ONCE before caching: the per-round score aggregation
-    // and the gradient join both key on doc_id, and the broadcast
-    // weight join is map-only and partitioning-preserving, so each
-    // round's whole dataflow reuses the cached partitioning — the only
-    // per-round shuffle left is the ≤ dim+5-key gradient reduce. (The
-    // round-12 shape re-shuffled feats by doc_id twice per round plus
-    // re-counted the corpus inside every gradient job: 18.0 s at
-    // sf0.1, 7.1% of the whole bench, all job floor.)
-    val feats = graft.CacheScope.persist(
-      unigram.unionByName(metrics).join(lab, "doc_id")
+    unigram.unionByName(metrics)
+  }
+
+  /** The label rides every feature row (ONE corpus join at build time
+    * instead of one per GD round), and the frame is hash-partitioned
+    * by doc_id ONCE before caching: the per-round score aggregation
+    * and the gradient join both key on doc_id, and the broadcast
+    * weight join is map-only and partitioning-preserving, so each
+    * round's whole dataflow reuses the cached partitioning — the only
+    * per-round shuffle left is the ≤ dim+5-key gradient reduce. (The
+    * round-12 shape re-shuffled feats by doc_id twice per round plus
+    * re-counted the corpus inside every gradient job: 18.0 s at
+    * sf0.1, 7.1% of the whole bench, all job floor.) */
+  private def labeledFeatures(docs: DataFrame, label: Column,
+      dim: Int): DataFrame =
+    graft.CacheScope.persist(
+      rawFeatures(docs, dim)
+        .join(docs.select(col("doc_id"), label.cast("long").as("y")),
+          "doc_id")
         .repartition(col("doc_id")))
 
-    // scores AND residual input in one aggregation pass: y is constant
-    // per doc, so max() re-emits it without a second join against lab
-    def scored(w: DataFrame): DataFrame =
-      feats.join(broadcast(w), "b")
-        .select(col("doc_id"), col("y"),
-          round(col("x") * col("w"), 8).cast("decimal(20,8)").as("t"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("t")).cast("double").as("s"), max(col("y")).as("y"))
-    val sigmoid = round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
+  private val wSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("b",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.DoubleType)))
 
-    // model state lives on the DRIVER — the MLlib topology: the data
-    // stays distributed, the ≤ dim+1-double weight vector rides a
-    // broadcast local relation each round, and each round's gradient
-    // comes back as a fenced bounded collect (≤ dim+1 (b, g) rows of
-    // aggregates, never row data). The earlier all-dataflow form kept
-    // weights as a localCheckpointed frame: at 20 rounds that is 20
-    // extra materializations and a per-round plan rebuild — measured
-    // 32 s at sf0.1 where this form is job-overhead-bound only.
-    val spark = docs.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("b",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("w",
-        org.apache.spark.sql.types.DoubleType)))
+  // LocalRelation, not parallelize: broadcast of a local frame happens
+  // driver-side with zero Spark jobs, where the RDD form paid a
+  // one-task collect job per broadcast
+  private def wDf(spark: SparkSession, m: Map[Int, Double]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      m.toSeq.sortBy(_._1).map { case (b, v) =>
+        org.apache.spark.sql.Row(b, v) }.asJava, wSchema)
+  }
+
+  private val sigmoid = round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
+
+  /** scores AND residual input in one aggregation pass over a LABELED
+    * feature frame: y is constant per doc, so max() re-emits it
+    * without a second join against the label frame. */
+  private def scored(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(broadcast(w), "b")
+      .select(col("doc_id"), col("y"),
+        round(col("x") * col("w"), 8).cast("decimal(20,8)").as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t")).cast("double").as("s"), max(col("y")).as("y"))
+
+  /** `iters` batch-GD rounds over a persisted labeled feature frame;
+    * model state lives on the DRIVER — the MLlib topology: the data
+    * stays distributed, the ≤ dim+5-double weight vector rides a
+    * broadcast local relation each round, and each round's gradient
+    * comes back as a fenced bounded collect (≤ dim+5 (b, g) rows of
+    * aggregates, never row data). */
+  private def gdTrain(feats: DataFrame, ndocs: Double, iters: Int,
+      lr: Double): Map[Int, Double] = {
+    val spark = feats.sparkSession
     def round8(v: Double): Double =
       BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // LocalRelation, not parallelize: broadcast of a local frame
-    // happens driver-side with zero Spark jobs, where the RDD form
-    // paid a one-task collect job per broadcast (2 per round)
-    def wDf(m: Map[Int, Double]): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(
-        m.toSeq.sortBy(_._1).map { case (b, v) =>
-          org.apache.spark.sql.Row(b, v) }.asJava, schema)
-    }
-    // corpus size as a fenced driver scalar, computed ONCE — the
-    // crossJoin(broadcast(one-row-agg)) form re-counted the corpus
-    // inside every round's gradient job
-    val ndocs = docs.count().toDouble
     var wMap: Map[Int, Double] =
       feats.select(col("b")).distinct().collect()
         .map(r => r.getInt(0) -> 0.0).toMap
     for (_ <- 1 to iters) {
-      val resid = scored(wDf(wMap))
+      val resid = scored(feats, wDf(spark, wMap))
         .select(col("doc_id"), (sigmoid - col("y")).as("r"))
       // shuffle-hash, not sort-merge: both sides are already
       // hash(doc_id)-partitioned (feats from the cache, resid from its
@@ -145,7 +153,48 @@ object Distill {
       wMap = wMap.map { case (b, v) =>
         b -> round8(v - lr * grads.getOrElse(b, 0.0)) }
     }
-    scored(wDf(wMap))
+    wMap
+  }
+
+  /** Train the student on `docs` (the bounded teacher-labeled sample)
+    * and return the learned weight vector — a fenced ≤ dim+5-entry
+    * driver map, the only thing that ships to the scoring pass. */
+  def trainGate(docs: DataFrame, label: Column, dim: Int = 64,
+      iters: Int = 3, lr: Double = 1.0): Map[Int, Double] = {
+    require(dim > 0 && iters > 0 && lr > 0, "trainGate needs dim, iters, lr > 0")
+    gdTrain(labeledFeatures(docs, label, dim), docs.count().toDouble,
+      iters, lr)
+  }
+
+  /** Score `docs` with a trained weight vector: one broadcast join +
+    * one per-doc sum — the 100 TB pass. Output (doc_id, score,
+    * predicted); the identical rounding discipline as training, so a
+    * doc scored here equals the same doc scored inside
+    * [[distillGate]]. */
+  def scoreGate(docs: DataFrame, w: Map[Int, Double],
+      dim: Int = 64): DataFrame =
+    rawFeatures(docs, dim)
+      .join(broadcast(wDf(docs.sparkSession, w)), "b")
+      .select(col("doc_id"),
+        round(col("x") * col("w"), 8).cast("decimal(20,8)").as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t")).cast("double").as("s"))
+      .select(col("doc_id"), sigmoid.as("score"),
+        when(sigmoid >= 0.5, 1L).otherwise(0L).as("predicted"))
+
+  /** Train `iters` batch-GD rounds against `label` over `docs`, then
+    * emit per doc: (doc_id, label, score, predicted, correct). `lr` is
+    * the learning rate on the MEAN gradient. Train + score over the
+    * same input — the oracle-gated registered form. */
+  def distillGate(docs: DataFrame, label: Column, dim: Int = 64,
+      iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(dim > 0 && iters > 0 && lr > 0, "distillGate needs dim, iters, lr > 0")
+    val feats = labeledFeatures(docs, label, dim)
+    // corpus size as a fenced driver scalar, computed ONCE — the
+    // crossJoin(broadcast(one-row-agg)) form re-counted the corpus
+    // inside every round's gradient job
+    val wMap = gdTrain(feats, docs.count().toDouble, iters, lr)
+    scored(feats, wDf(docs.sparkSession, wMap))
       .select(col("doc_id"), col("y").as("label"), sigmoid.as("score"),
         when(sigmoid >= 0.5, 1L).otherwise(0L).as("predicted"))
       .withColumn("correct",

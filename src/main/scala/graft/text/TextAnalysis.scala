@@ -71,6 +71,18 @@ object TextAnalysis {
     * len) per row, which stays narrow (zero shuffle) and is the right
     * trade for web-scale SHORT documents; for book-length docs switch to
     * the explode + groupBy form (one shuffle, linear per row). */
+  /** The canonical-per-cluster keeper score (the one `q_text_quality`
+    * oracle-proves): 0.6·distinct_ratio + 0.4·(1−stop_ratio). Shared by
+    * the pretrain twins and the curation flagship so the keeper
+    * convention can't drift between compositions. */
+  def qualityScore: Column = {
+    val t = tokens
+    val tc = size(t).cast("long")
+    lit(0.6) * (size(array_distinct(t)).cast("long") / tc) +
+      lit(0.4) * (lit(1.0) -
+        stopHits(t, enStops).cast("long") / tc)
+  }
+
   def topTokenFrac(toks: Column): Column =
     array_max(transform(array_distinct(toks),
       d => size(filter(toks, x => x === d)))).cast("long") /
