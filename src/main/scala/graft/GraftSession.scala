@@ -80,8 +80,9 @@ object GraftSession {
     // checkpoints. Set to the provider FQCN to pin the whole family
     // (transformWithState already forces RocksDB for itself — Spark 4
     // requires it there).
-    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
-      s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.trim)
+      .filter(_.nonEmpty).foreach(p =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -19,6 +19,23 @@ object PmiLegBench {
                else Seq("target/zipf50k", "target/zipf500k")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val topV = sys.env.getOrElse("SPARK_GRAFT_PMI_TOPV", "4096").toLong
+    // the df-band leg: default 0.5; empty/"none"/"off" runs the
+    // UNBANDED leg (r13 could not express None at all); anything else
+    // must parse to a fraction in (0, 1]
+    val maxDf: Option[Double] =
+      sys.env.get("SPARK_GRAFT_PMI_MAXDF").map(_.trim.toLowerCase) match {
+        case None => Some(0.5)
+        case Some("") | Some("none") | Some("off") => None
+        case Some(v) =>
+          val d = try v.toDouble catch {
+            case _: NumberFormatException => sys.error(
+              s"SPARK_GRAFT_PMI_MAXDF must be a fraction in (0,1], " +
+              s"'none'/'off'/empty for unbanded — got '$v'")
+          }
+          require(d > 0 && d <= 1,
+            s"SPARK_GRAFT_PMI_MAXDF must be in (0,1], got $d")
+          Some(d)
+      }
     val spark = GraftSession.local(GraftSession.envCpus)
 
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -29,8 +46,7 @@ object PmiLegBench {
         text.TextAnalysis.pmi(
           sources.Tables.load(spark, dir, "documents"),
           topV = Some(topV),
-          maxDfFrac = sys.env.get("SPARK_GRAFT_PMI_MAXDF").map(_.toDouble)
-            .orElse(Some(0.5))).count()
+          maxDfFrac = maxDf).count()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       times(dir) = times(dir) :+ secs

@@ -579,21 +579,15 @@ object SourceQueries {
     * inference ever leaked past the sample), and the `'leadid' in
     * columns` runtime guard (`PUSH:206`) takes the ABSENT branch —
     * null leadid for every row, including the tail docs that carried
-    * one in the raw JSON. A full-scan inference flips all three. */
+    * one in the raw JSON. A full-scan inference flips all three.
+    * The collection fixture is staged by
+    * `DocCollection.stageFixture` (build-if-absent, per-input-dir
+    * path) — the query itself is read-only once staged. */
   private val docSampled = Q("q_s16_doc_sampled",
     (s, dir) => {
-      val base = "/root/repo/target/stage/q_s16_doc_sampled"
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      docs.where(col("doc_id") % 5 =!= 0)
-        .coalesce(1).write.mode("overwrite").json(s"$base/coll/a_head")
-      docs.where(col("doc_id") % 5 === 0)
-        .withColumn("leadid", concat(lit("L"), col("doc_id").cast("string")))
-        .withColumn("extra_score",
-          round(col("n_chars").cast("double") / 100.0, 2))
-        .coalesce(1).write.mode("overwrite").json(s"$base/coll/b_tail")
+      val coll = graft.sources.DocCollection.stageFixture(s, dir)
       val read = graft.sources.DocCollection.readSampled(
-        s, s"$base/coll", sampleSize = 256L)
+        s, coll, sampleSize = 256L)
       val guarded = graft.sources.DocCollection.withLeadidGuard(read)
       guarded.select(guarded.columns.sorted.map(col).toIndexedSeq: _*)
     },
@@ -601,9 +595,58 @@ object SourceQueries {
       SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS leadid, n_chars, source
       FROM documents"""))
 
+  /** S5 composed end-to-end (verdict r13 #7): the one-path outbound
+    * story — sampled-schema collection read → `leadid` runtime guard
+    * (`PUSH:206`) → coalesce-guarded only-new delta (`PUSH:207-224`)
+    * → nested document write + read-back. Run TWICE in one frame,
+    * tagged by inference mode, to pin the operational consequence of
+    * bounded-sample inference: the sampled read misses the tail
+    * shard's `leadid`, so the guard nulls the collection's keys and
+    * the delta OVER-PUSHES every incoming document; full inference
+    * sees them and the delta correctly excludes the already-present
+    * tail (doc_id % 5 = 0). A regression in any stage — sample
+    * horizon, guard branch, anti-join null handling, nested layout —
+    * breaks one of the two legs' hashes. */
+  private val s5Outbound = Q("q_s5_outbound_sampled",
+    (s, dir) => {
+      val coll = graft.sources.DocCollection.stageFixture(s, dir)
+      // the incoming snapshot assigns every document its lead key
+      val incoming = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("L"), col("doc_id").cast("string")).as("leadid"),
+          col("lang"), col("source"))
+      def deltaAgainst(existing: org.apache.spark.sql.DataFrame,
+          mode: String): org.apache.spark.sql.DataFrame = {
+        val guarded = graft.sources.DocCollection.withLeadidGuard(existing)
+        graft.operators.Delta.newKeysOnly(
+          incoming, guarded.select("leadid"), "leadid", "leadid")
+          .withColumn("mode", lit(mode))
+      }
+      val sampled = deltaAgainst(
+        graft.sources.DocCollection.readSampled(s, coll, 256L), "sampled")
+      val full = deltaAgainst(
+        s.read.option("recursiveFileLookup", "true").json(coll), "full")
+      val nested = sampled.unionByName(full)
+        .select(col("mode"), struct(col("doc_id"), col("leadid"),
+          col("lang"), col("source")).as("doc"))
+      val work = "/root/repo/target/stage/q_s5_outbound_sampled/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      nested.write.mode("overwrite").parquet(work)
+      s.read.parquet(work).select(col("mode"),
+        col("doc.doc_id").as("doc_id"), col("doc.leadid").as("leadid"),
+        col("doc.lang").as("lang"), col("doc.source").as("source"))
+    },
+    Some("""
+      SELECT 'sampled' AS mode, doc_id,
+        'L' || CAST(doc_id AS VARCHAR) AS leadid, lang, source
+      FROM documents
+      UNION ALL
+      SELECT 'full', doc_id, 'L' || CAST(doc_id AS VARCHAR), lang, source
+      FROM documents WHERE doc_id % 5 <> 0"""))
+
   val all: Seq[Q] = Seq(jsonLift, jsonRoundtrip, jsonPaged, csvSnapshot,
     jdbcSnapshot, partSink, catalog, partitions, reconcile, bucketed,
     schemaMerge, orcRoundtrip, jsonPath, compactSink, jsonCorrupt,
     prunedScan, calendarDim, binaryIngest, fileProvenance, variantLift,
-    pipeSyntax, snapshotDiff, docSampled)
+    pipeSyntax, snapshotDiff, docSampled, s5Outbound)
 }

@@ -559,16 +559,26 @@ object TextQueries {
     * walk clause by clause) hash-checks the capped semantics, not the
     * uncapped ideal.
     *
-    * Round 13 adds the df-BAND prefilter (verdict r12 #4): tokens in
-    * more than half of all documents carry ≈0 PMI by definition but
-    * are present in every doc's pair explode — the residual 0.81/decade
-    * Zipf mass after the topV cap. `maxDfFrac = 0.5` drops that band
-    * BEFORE the histogram walk and the pairing; the oracle's dfreq CTE
-    * applies the identical band, so the hash pins band + cap together.
-    * df_a/df_b still report true corpus df for every kept token. */
+    * Round 13 added the df-BAND prefilter (verdict r12 #4): near-
+    * ubiquitous tokens carry ≈0 PMI by definition but are present in
+    * every doc's pair explode — the residual 0.81/decade Zipf mass
+    * after the topV cap. `maxDfFrac` drops that band BEFORE the
+    * histogram walk and the pairing; the oracle's dfreq CTE applies
+    * the identical band, so the hash pins band + cap together.
+    * df_a/df_b still report true corpus df for every kept token.
+    *
+    * Round 14 re-parameterizes 0.5 → 0.8 (verdict r13 #1a): the
+    * 31-token fixture vocabulary sits at df/n_docs ≈ 0.75–0.83, so
+    * 0.5 banded out all but one token and the gate passed VACUOUSLY
+    * (0 vs 0 rows). At 0.8 the band still bites at the gated sfs
+    * (drops 5/31 tokens at sf0.001, 1/31 at sf0.01 — measured) while
+    * the banded+capped pair set stays non-empty (120 rows at every
+    * test sf), so the hash now pins the band+cap INTERPLAY, not an
+    * empty set. Scale-path bands stay caller-chosen (PmiLegBench
+    * sweeps them against the Zipf corpus). */
   private val pmiCapped = Q("q_text_pmi_capped",
     (s, dir) => TextAnalysis.pmi(Tables.load(s, dir, "documents"),
-      topV = Some(16L), maxDfFrac = Some(0.5)),
+      topV = Some(16L), maxDfFrac = Some(0.8)),
     Some(raw"""
       WITH toks0 AS (SELECT DISTINCT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -576,7 +586,7 @@ object TextQueries {
       nd AS (SELECT count(*) AS n_docs FROM documents),
       dfreq0 AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok),
       dfreq AS (SELECT tok, df FROM dfreq0, nd
-                WHERE CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * 0.5),
+                WHERE CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * 0.8),
       hist AS (SELECT df, count(*) AS c FROM dfreq GROUP BY df),
       cum AS (SELECT df, sum(c) OVER (ORDER BY df DESC) AS cc FROM hist),
       dstar AS (SELECT coalesce(

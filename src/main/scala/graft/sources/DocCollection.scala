@@ -72,6 +72,39 @@ object DocCollection {
       .option("recursiveFileLookup", "true") // collections nest shards
       .json(path)
 
+  /** Stage the two-shard JSON collection fixture the bounded-sample
+    * queries read (no document store exists in the sandbox — this
+    * stands in for the collection, verdict r12 #2). Head shard
+    * (doc_id % 5 ≠ 0): base fields only; tail shard adds `leadid` +
+    * `extra_score`, so a sample that never leaves the head file
+    * misses both. Build-if-absent behind a marker file, at a path
+    * DERIVED FROM THE INPUT DIR — the registered queries are
+    * read-only once staged, and concurrent sessions at different
+    * scale factors can't overwrite each other mid-read (the r13
+    * fixed-path hazard). */
+  def stageFixture(spark: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"/root/repo/target/stage/doc_collection/$tag"
+    val coll = s"$base/coll"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_STAGED")
+    if (!fs.exists(marker)) {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.where(col("doc_id") % 5 =!= 0)
+        .coalesce(1).write.mode("overwrite").json(s"$coll/a_head")
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("leadid",
+          concat(lit("L"), col("doc_id").cast("string")))
+        .withColumn("extra_score",
+          round(col("n_chars").cast("double") / 100.0, 2))
+        .coalesce(1).write.mode("overwrite").json(s"$coll/b_tail")
+      fs.create(marker, true).close()
+    }
+    coll
+  }
+
   /** The reference's runtime column introspection (`PUSH:206`): the
     * read schema can't be trusted after bounded-sample inference, so
     * the leadid leg is chosen by looking at the ACTUAL columns —

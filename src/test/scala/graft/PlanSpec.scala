@@ -59,13 +59,38 @@ class PlanSpec extends SparkSuite {
     assert(planOf("q_w2_top1_per_key").contains("WindowGroupLimit"))
   }
 
-  test("flagship joins every dim via broadcast (no sort-merge joins)") {
-    val df = SparkEntry.entry(spark)
+  test("prospect flagship joins every dim via broadcast (no sort-merge joins)") {
+    // the dim-decode invariant holds on the PROSPECT subtree; the
+    // composed entry also embeds the curation pipeline, whose
+    // corpus-sized semi/anti joins legitimately sort-merge — asserting
+    // no-SMJ on the combined plan would conflate the two (verdict r13)
+    val df = Flagship.prospectPipeline(spark, "/root/testdata/sf0.001")
     df.count()
     val plan = df.queryExecution.executedPlan.toString
     // a regression that shuffles the fact for a dim join surfaces as SMJ
     assert(!plan.contains("SortMergeJoin"))
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("curation flagship subtree: no cartesian; corpus joins keyed on doc_id") {
+    // the curation pipeline's own scale invariant: every join in the
+    // composed plan is equi-keyed (doc_id / vec_id / seam keys) — a
+    // CartesianProduct or non-broadcast BNLJ anywhere is an all-pairs
+    // regression. SMJ is ALLOWED here: corpus-vs-corpus semi/anti
+    // joins at 100 TB are exactly what sort-merge is for.
+    val df = Flagship.curationPipeline(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the only BNLJs allowed are the sanctioned scalar-attach
+    // crossJoin(broadcast(one-row-agg)) sites — a BNLJ carrying a join
+    // CONDITION would be a theta-join (all-pairs) regression
+    for (l <- plan.linesIterator if l.contains("BroadcastNestedLoopJoin"))
+      assert(l.contains("Cross"), s"conditioned BNLJ in curation plan:\n$l")
+    // corpus semi/anti joins stay keyed on doc_id
+    for (l <- plan.linesIterator
+         if l.contains("LeftSemi") || l.contains("LeftAnti"))
+      assert(l.contains("doc_id"), s"unkeyed semi/anti join:\n$l")
   }
 
   test("curation projections are shuffle-free narrow plans") {
