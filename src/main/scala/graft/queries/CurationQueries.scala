@@ -987,7 +987,15 @@ object CurationQueries {
     * its train-on-sample / score-the-corpus production shape +
     * packing — every round-12 operator wired into one composition,
     * hash-checked end to end. `SparkEntry.entry` runs this same
-    * composition (audit-stamped onto the prospect build). */
+    * composition (audit-stamped onto the prospect build).
+    *
+    * Timing note: `curationPipeline` does most of its work EAGERLY at
+    * DataFrame-construction time (the localCheckpoint seams run
+    * stages 1–5; trainGate runs 20 bounded collect rounds), so any
+    * harness timing this query must wrap construction + action in one
+    * window. Bench/LegBench both time `fn(spark, dir).count()`, which
+    * does exactly that; plan-only inspection (Explain) re-executes the
+    * checkpointed stages and is NOT a cheap operation here. */
   private val flagshipCuration = Q("q_flagship_curation",
     (s, dir) => graft.Flagship.curationPipeline(s, dir),
     Some(flagshipSql))
