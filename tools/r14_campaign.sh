@@ -115,8 +115,11 @@ PY
 fi
 
 log "(f) flagship curation decade ladder (5 reps, dirs interleaved)"
+# third rung is sf10x_de, NOT sf10x_docs: the curation flagship's
+# SemDeDup stage reads the embeddings table, which only the _de
+# fixture carries at the 500k-doc scale
 SPARK_GRAFT_ONLY=q_flagship_curation SPARK_GRAFT_REPS=5 SPARK_DRIVER_MEM=64g \
-  sbt -batch "runMain graft.LegBench /root/testdata/sf0.1 /root/repo/target/sf1x /root/repo/target/sf10x_docs" \
+  sbt -batch "runMain graft.LegBench /root/testdata/sf0.1 /root/repo/target/sf1x /root/repo/target/sf10x_de" \
   > /root/repo/target/r14f_flagship.log 2>&1 \
   || { echo "FAIL flagship legbench"; tail -5 /root/repo/target/r14f_flagship.log; exit 1; }
 grep -oE '\{"metric":"leg_medians".*' /root/repo/target/r14f_flagship.log | tail -1 \
@@ -125,7 +128,7 @@ python3 - <<'PY'
 import json, math
 d = json.load(open('/root/repo/target/r14f_flagship.json'))
 q = 'q_flagship_curation'
-dirs = ['/root/testdata/sf0.1', '/root/repo/target/sf1x', '/root/repo/target/sf10x_docs']
+dirs = ['/root/testdata/sf0.1', '/root/repo/target/sf1x', '/root/repo/target/sf10x_de']
 tags = ['sf0.1_5k', 'sf1x_50k', 'sf10x_500k']
 out = {"protocol": ("q_flagship_curation decade ladder (verdict r13 #4): LegBench "
   "5 reps, dirs interleaved per rep, over 5k/50k/500k documents. The composed "
