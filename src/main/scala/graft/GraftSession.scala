@@ -80,12 +80,19 @@ object GraftSession {
     // checkpoints. Set to the provider FQCN to pin the whole family
     // (transformWithState already forces RocksDB for itself — Spark 4
     // requires it there).
-    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.trim)
-      .filter(_.nonEmpty).foreach(p =>
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    stateProviderFrom(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).foreach(
+      p => s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Provider-class resolution for the state-store knob: an unset,
+    * empty, or whitespace-only env var means "use Spark's default" —
+    * round 13 passed "" straight to `classForName("")`, which killed
+    * 6/10 streaming queries in the A/B's default legs. Factored out
+    * so the empty-value contract is unit-testable. */
+  private[graft] def stateProviderFrom(env: Option[String]): Option[String] =
+    env.map(_.trim).filter(_.nonEmpty)
 
   /** Core-count from the driver contract env, default 4. */
   def envCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt

@@ -82,7 +82,7 @@ object DocCollection {
     * read-only once staged, and concurrent sessions at different
     * scale factors can't overwrite each other mid-read (the r13
     * fixed-path hazard). */
-  def stageFixture(spark: SparkSession, dir: String): String = {
+  def stageFixture(spark: SparkSession, dir: String): String = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"/root/repo/target/stage/doc_collection/$tag"
     val coll = s"$base/coll"
