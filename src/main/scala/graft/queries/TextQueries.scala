@@ -186,6 +186,35 @@ object TextQueries {
                  AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)"""
 
+  /** Incremental NEAR-dup dedup against a stored corpus band index
+    * (the LSH twin of `q_dedup_incremental`'s exact-fingerprint form):
+    * the corpus — doc_id % 4 ≠ 0 here — is never re-shingled; only its
+    * 8-rows/doc index joins the new batch's bands. The oracle mirrors
+    * the min-id blame rule clause for clause: a corpus collision
+    * always blames, a same-batch collision blames only a smaller id;
+    * shingle-less new docs keep trivially. */
+  private val incrementalLsh = Q("q_dedup_incremental_lsh",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpusIdx = Dedup.bandIndex(Dedup.minhashSignatures(
+        Dedup.shingles(docs.where(col("doc_id") % 4 =!= 0))))
+      Dedup.incrementalLshDedup(docs.where(col("doc_id") % 4 === 0),
+        corpusIdx)
+    },
+    Some(minhashSigCte + raw""",
+      bands AS (SELECT doc_id, b AS band_idx, $bandValSql AS band_val
+                FROM sig, unnest(range(0, ${Dedup.K / 2})) AS u(b)),
+      nb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+      ob AS (SELECT *, (doc_id % 4 <> 0) AS corp FROM bands),
+      blame AS (SELECT n.doc_id, min(o.doc_id) AS dup_of
+                FROM nb n JOIN ob o
+                  ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+                 AND (o.corp OR o.doc_id < n.doc_id)
+                GROUP BY 1)
+      SELECT d.doc_id, (b.dup_of IS NULL) AS keep, b.dup_of
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN blame b USING (doc_id)"""))
+
   private val lsh = Q("q_dedup_minhash_lsh",
     (s, dir) => Dedup.lshCandidates(Dedup.minhashSignatures(
       Dedup.shingles(Tables.load(s, dir, "documents")))),
@@ -1093,7 +1122,8 @@ object TextQueries {
       GROUP BY a.source, b.source"""))
 
   val all: Seq[Q] = Seq(tokenCount, langId, quality, vocab, fingerprints,
-    exact, jaccard, minhash, lsh, simhash, simhashPairs, simhashTopM,
+    exact, jaccard, minhash, lsh, incrementalLsh, simhash, simhashPairs,
+    simhashTopM,
     topmRecall, editVerify, lshRecall, lmScore, hashTf, boilerplate,
     tokenHistogram, pmi, pmiCapped, prefixJaccard, prefixCapped,
     prefixCappedRecall,

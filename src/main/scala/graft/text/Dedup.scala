@@ -111,19 +111,27 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding over the signatures: r=2 rows/band → k/2 bands; docs
-    * sharing ≥1 band are candidates. Emits (da, db, n_bands). */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  /** The banded index over MinHash signatures — (doc_id, band_idx,
+    * band_val), r=2 rows/band → k/2 bands. This is the frame a
+    * production corpus STORES (bucketed by band_val, the S2 bucketed
+    * sink): incremental dedup joins new batches against it without
+    * ever re-shingling the corpus. */
+  def bandIndex(sigs: DataFrame): DataFrame = {
     val bands = (0 until K / 2).map { b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("band_val"))
     }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+  }
+
+  /** LSH banding over the signatures: docs sharing ≥1 band are
+    * candidates. Emits (da, db, n_bands). */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
     // persist: both sides of the self-join share this lineage — without
     // it Spark recomputes the shingle+minhash pipeline per side
     // (scope-managed: released by the enclosing CacheScope.scoped)
-    val exploded = graft.CacheScope.persist(
-      sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
-        .select(col("doc_id"), col("b.band_idx"), col("b.band_val")))
+    val exploded = graft.CacheScope.persist(bandIndex(sigs))
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     a.join(b,
@@ -133,6 +141,45 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Incremental NEAR-dup dedup — the LSH twin of [[incrementalDedup]]
+    * (which is exact-fingerprint): dedup a NEW batch against an
+    * already-deduped corpus using the corpus's STORED band index
+    * ([[bandIndex]]), never re-touching corpus text.
+    * A new document is dropped when any of its bands collides with a
+    * corpus index entry, or with a smaller-keyed document of the same
+    * batch (the min-id canonical convention — deterministic, no
+    * iterative cascade). Output: one row per new document,
+    * (doc_id, keep, dup_of) where dup_of is the smallest colliding id.
+    *
+    * 100 TB shape: the only corpus-side input is the index — at k=16 /
+    * r=2 that is 8 rows × ~24 B per corpus doc, ~0.2% of corpus bytes —
+    * and the join is equi-keyed on (band_idx, band_val), so a corpus
+    * index bucketed by band_val (the S2 bucketed-sink layout) makes the
+    * whole operation a map-side bucket join against the new batch's
+    * bands; the corpus is never scanned, shuffled, or re-hashed. New
+    * docs with no shingles (< 3 tokens) have no bands and keep
+    * trivially, matching [[minhashSignatures]]' domain. */
+  def incrementalLshDedup(newDocs: DataFrame,
+      corpusIndex: DataFrame): DataFrame = {
+    val nb = graft.CacheScope.persist(
+      bandIndex(minhashSignatures(shingles(newDocs))))
+    // corpus entries always blame; same-batch entries only when their
+    // id is smaller — tag the side instead of special-casing id spaces
+    val others = corpusIndex
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
+      .withColumn("corp", lit(true))
+      .unionByName(nb.withColumn("corp", lit(false)))
+    val blame = nb.alias("n").join(others.alias("o"),
+      col("n.band_idx") === col("o.band_idx") &&
+        col("n.band_val") === col("o.band_val") &&
+        (col("o.corp") || col("o.doc_id") < col("n.doc_id")))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("o.doc_id")).as("dup_of"))
+    newDocs.select(col("doc_id")).join(blame, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("keep"),
+        col("dup_of"))
   }
 
   /** n-gram Jaccard near-dup: inverted-index candidate pairs over

@@ -70,6 +70,40 @@ class Round14Spec extends SparkSuite {
       != first)
   }
 
+  test("incremental LSH dedup agrees with the full-corpus candidate set") {
+    // a new-batch doc (doc_id % 4 = 0) is dropped by the index-join
+    // path IFF the full-corpus lshCandidates pair set links it to a
+    // corpus doc or a smaller same-batch doc — the two computations
+    // share no code path beyond bandIndex, so agreement pins the
+    // blame-rule rewrite
+    import graft.text.Dedup
+    import graft.sources.Tables
+    graft.CacheScope.scoped {
+      val docs = Tables.load(spark, sf, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingles(docs)))
+      // pairs are (da < db); a new doc `n` is linked when it appears
+      // as db against any corpus doc or smaller new doc (da < n always
+      // satisfies the blame rule), or as da against a corpus doc
+      val dropByPairs = pairs
+        .filter(col("db") % 4 === 0)
+        .select(col("db").as("doc_id"))
+        .unionByName(pairs
+          .filter(col("da") % 4 === 0 && col("db") % 4 =!= 0)
+          .select(col("da").as("doc_id")))
+        .distinct()
+      val corpusIdx = Dedup.bandIndex(Dedup.minhashSignatures(
+        Dedup.shingles(docs.where(col("doc_id") % 4 =!= 0))))
+      val inc = Dedup.incrementalLshDedup(
+        docs.where(col("doc_id") % 4 === 0), corpusIdx)
+      val dropByInc = inc.filter(!col("keep")).select(col("doc_id"))
+      assert(dropByInc.exceptAll(dropByPairs).isEmpty,
+        "incremental dropped a doc the full candidate set never linked")
+      assert(dropByPairs.exceptAll(dropByInc).isEmpty,
+        "incremental missed a linked doc")
+    }
+  }
+
   test("state-store knob: unset/empty/whitespace mean Spark's default") {
     assert(GraftSession.stateProviderFrom(None).isEmpty)
     assert(GraftSession.stateProviderFrom(Some("")).isEmpty)
