@@ -171,13 +171,23 @@ object Dedup {
       .select(col("doc_id"), col("band_idx"), col("band_val"))
       .withColumn("corp", lit(true))
       .unionByName(nb.withColumn("corp", lit(false)))
-    val blame = nb.alias("n").join(others.alias("o"),
+    val blamed = nb.alias("n").join(others.alias("o"),
       col("n.band_idx") === col("o.band_idx") &&
         col("n.band_val") === col("o.band_val") &&
         (col("o.corp") || col("o.doc_id") < col("n.doc_id")))
-      .groupBy(col("n.doc_id").as("doc_id"))
-      .agg(min(col("o.doc_id")).as("dup_of"))
-    newDocs.select(col("doc_id")).join(blame, Seq("doc_id"), "left")
+      .select(col("n.doc_id").as("doc_id"),
+        col("o.doc_id").as("dup_of"))
+    // union + min-aggregate rather than a left join against the blame
+    // aggregate: identical output (min skips the sentinel nulls), one
+    // key shuffle either way — but a left join whose right side is an
+    // aggregate on the join key is PROVABLY unique, so a consumer that
+    // reads no blame columns (count()) lets Catalyst eliminate the
+    // join and with it the entire minhash pipeline; the aggregate form
+    // keeps the computation in every consumer's plan
+    newDocs.select(col("doc_id"),
+        lit(null).cast("long").as("dup_of"))
+      .unionByName(blamed)
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
       .select(col("doc_id"), col("dup_of").isNull.as("keep"),
         col("dup_of"))
   }
