@@ -352,6 +352,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("incremental LSH dedup: equi band join, no cartesian, blame aggregate survives count") {
+    val p = planOf("q_dedup_incremental_lsh")
+    // the batch-vs-index join must be keyed on the band columns — a
+    // keyless rewrite (all-pairs against a 100 TB corpus index) would
+    // surface as CartesianProduct / BNLJ
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("band_val"), p.take(1500))
+    // the union+min-aggregate form: the blame computation must be IN
+    // the executed (count-consumed) plan — the earlier left-join form
+    // was join-eliminated under count() and timed a bare scan
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert("Join [^\\n]*band".r.findFirstIn(p).isDefined ||
+      p.contains("hashpartitioning(band"), p.take(1500))
+  }
+
   test("dsir: the bucket model is broadcast; the corpus never shuffles on the bucket key") {
     val p = planOf("q_curation_dsir")
     // the llr frame joins back via broadcast hash — a SortMergeJoin
