@@ -104,6 +104,50 @@ class Round14Spec extends SparkSuite {
     }
   }
 
+  test("incremental LSH dedup invariants on a seeded near-dup corpus") {
+    // synthetic corpus engineered for collisions: 120 docs drawn from a
+    // 6-token pool (many shared shingles), fixed seed — the invariants
+    // must hold for ANY corpus, the near-dup density just makes the
+    // blame paths non-trivial
+    import graft.text.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 120L).map { i =>
+      val n = 3 + rnd.nextInt(6)
+      (i, Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    graft.CacheScope.scoped {
+      val corpus = docs.where(col("doc_id") % 3 =!= 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+      val idx = Dedup.bandIndex(Dedup.minhashSignatures(
+        Dedup.shingles(corpus))).persist()
+      val out = Dedup.incrementalLshDedup(batch, idx)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      val batchIds = (0L until 120L).filter(_ % 3 == 0).toSet
+      val corpusIds = (0L until 120L).filterNot(_ % 3 == 0).toSet
+      // (1) exactly one row per batch doc
+      assert(out.map(_._1).toSet == batchIds && out.size == batchIds.size)
+      // (2) keep ⟺ no blame
+      assert(out.forall { case (_, keep, dup) => keep == dup.isEmpty })
+      // (3) blame is a corpus id or a strictly smaller batch id
+      assert(out.forall { case (id, _, dup) => dup.forall(d =>
+        corpusIds(d) || (batchIds(d) && d < id)) })
+      // (4) monotonicity: growing the corpus index never flips a drop
+      // back to keep (more index entries can only add blame)
+      val idx2 = Dedup.bandIndex(Dedup.minhashSignatures(
+        Dedup.shingles(docs.where(col("doc_id") % 3 =!= 0 ||
+          col("doc_id") >= 60))))
+      val dropped1 = out.filterNot(_._2).map(_._1).toSet
+      val dropped2 = Dedup.incrementalLshDedup(
+          batch.where(col("doc_id") < 60), idx2)
+        .filter(!col("keep")).collect().map(_.getLong(0)).toSet
+      assert(dropped1.filter(_ < 60).subsetOf(dropped2),
+        "a doc dropped against the smaller index kept against the larger")
+    }
+  }
+
   test("state-store knob: unset/empty/whitespace mean Spark's default") {
     assert(GraftSession.stateProviderFrom(None).isEmpty)
     assert(GraftSession.stateProviderFrom(Some("")).isEmpty)
