@@ -15,11 +15,7 @@ import java.nio.file.{Files, Paths}
   * long lines, which cost rounds 1-3 their first ~19 queries).
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    val n = s.length
-    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-  }
+  private def median(xs: Seq[Double]): Double = BenchStats.median(xs)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

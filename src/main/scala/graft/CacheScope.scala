@@ -32,6 +32,7 @@ object CacheScope {
   // inside the block are the endorsed use case.
   private final class Scope {
     val frames = ListBuffer.empty[DataFrame]
+    val cleanups = ListBuffer.empty[() => Unit]
     var closed = false
   }
 
@@ -55,6 +56,22 @@ object CacheScope {
     df
   }
 
+  /** Register a cleanup with the innermost scope — the non-cache twin of
+    * [[persist]], for resources a library operator stages on disk whose
+    * lifetime must match the scope (the bucketed verify tables in
+    * `Dedup.verifyHashSets` drop their catalog entry and staged files
+    * this way). With no scope active the cleanup is NOT run — the staged
+    * resource lives for the session and the embedding process manages
+    * it, mirroring `persist`'s no-scope contract. Cleanups run AFTER the
+    * scope's unpersists, each isolated (one failing cleanup never blocks
+    * the rest). */
+  def defer(cleanup: () => Unit): Unit = {
+    val scope = current.get()
+    if (scope != null) scope.synchronized {
+      if (!scope.closed) scope.cleanups += cleanup
+    }
+  }
+
   /** Run `body`; on exit unpersist every frame the library persisted
     * within (scopes nest — an inner scope only releases its own). */
   def scoped[T](body: => T): T = {
@@ -64,11 +81,12 @@ object CacheScope {
     try body
     finally {
       if (outer == null) current.remove() else current.set(outer)
-      val registered = mine.synchronized {
+      val (registered, cleanups) = mine.synchronized {
         mine.closed = true
-        mine.frames.toList
+        (mine.frames.toList, mine.cleanups.toList)
       }
       registered.foreach(_.unpersist(blocking = false))
+      cleanups.foreach(c => try c() catch { case _: Exception => () })
     }
   }
 }

@@ -13,17 +13,22 @@ object Explain {
     val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
     wanted.foreach { name =>
       println(s"\n===== $name =====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      // the flagship's SemDeDup assignment dispatches two-level only
-      // past the measured n·k work budget, so the registered plan at a
-      // test sf is the (correct) flat pass; print the FORCED two-level
-      // twin too — output is provably identical (Round12Spec), this is
-      // the 100 TB plan shape
+      // plan-only consumer: the curation flagship's seam checkpoints
+      // are deferred (lazyCheckpoints) so Explain prints the plan
+      // without executing stages 1–5 (verdict r14 #7); every other
+      // query constructs cheaply through the registry
       if (name == "q_flagship_curation") {
-        println(s"\n===== $name [forceTwoLevel] =====")
-        Flagship.curationPipeline(spark, sfDir, forceTwoLevel = true)
+        Flagship.curationPipeline(spark, sfDir, lazyCheckpoints = true)
           .explain("formatted")
-      }
+        // the flagship's SemDeDup assignment dispatches two-level only
+        // past the measured n·k work budget, so the registered plan at
+        // a test sf is the (correct) flat pass; print the FORCED
+        // two-level twin too — output is provably identical
+        // (Round12Spec), this is the 100 TB plan shape
+        println(s"\n===== $name [forceTwoLevel] =====")
+        Flagship.curationPipeline(spark, sfDir, forceTwoLevel = true,
+          lazyCheckpoints = true).explain("formatted")
+      } else SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

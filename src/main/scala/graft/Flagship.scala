@@ -183,9 +183,21 @@ object Flagship {
     *       broadcast join + one per-doc sum;
     * (7)   deterministic-hash sequence packing.
     * Full/exact modes remain the oracle-gated twins
-    * (`q_pretrain_full`, `q_quality_distilled`). */
+    * (`q_pretrain_full`, `q_quality_distilled`).
+    *
+    * `lazyCheckpoints`: with the default (false, eager — the bench
+    * contract: construction + one action is the whole cost) the two
+    * seam checkpoints EXECUTE stages 1–5 at construction. `true` defers
+    * each seam's materialization to the first action, so a plan-only
+    * consumer (Explain) skips the checkpoint executions; the lineage
+    * cut itself is identical (both forms truncate the logical plan at
+    * an RDD-scan stub at construction). Not fully free at construction
+    * even when lazy: the SemDeDup dispatch and trainGate's bounded GD
+    * rounds read driver scalars while the frame is being BUILT — lazy
+    * seams remove the checkpoint jobs, which dominate. */
   def curationPipeline(spark: SparkSession, dir: String,
-      forceTwoLevel: Boolean = false): DataFrame = {
+      forceTwoLevel: Boolean = false,
+      lazyCheckpoints: Boolean = false): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // localCheckpoint, not persist, at the two composition seams: the
     // downstream stages re-reference these frames along MANY branches
@@ -197,7 +209,7 @@ object Flagship {
     // same fix as assignTwoLevel's, and the dataflow twin of the
     // reference's stage-out-and-re-read lineage cut, `PUSH:227-229`).
     val clean = graft.text.Pipelines.lexicalClean(docs, capped = true)
-      .localCheckpoint()
+      .localCheckpoint(eager = !lazyCheckpoints)
     // stage 5: semantic near-dup drop on the survivors' embeddings
     val emb = Tables.load(spark, dir, "embeddings")
     val embSurv = emb.join(clean.select(col("doc_id").as("vec_id")),
@@ -207,7 +219,7 @@ object Flagship {
       .semDedup(embSurv, k = 8, iters = 2, tau = 0.35, fb, wb)
       .filter(!col("keep")).select(col("vec_id").as("doc_id"))
     val corpus = clean.join(semDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = !lazyCheckpoints)
     // stage 6: distilled gate — train on the teacher-labeled sample,
     // score the survivors (the probed hyperparameters: 20 rounds, lr 16)
     val w = graft.text.Distill.trainGate(

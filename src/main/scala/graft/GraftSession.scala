@@ -53,6 +53,16 @@ object GraftSession {
       // the plan the dispatch chose. 4g keeps every fenced estimate
       // under the collect ceiling with margin.
       .config("spark.driver.maxResultSize", "4g")
+      // Bucketed+sorted stages written through Bucketing.stageBucketed
+      // hold exactly ONE file per bucket (repartition-before-write on
+      // the bucket hash), so exposing the per-bucket sort order is
+      // sound — it removes the per-join SortExec over the staged side
+      // (the verify hash-set frame, the stored band index). Spark 3+
+      // hides the order by default because multi-file buckets would
+      // need a merge-read; the legacy rule still checks
+      // one-file-per-bucket before claiming order, so multi-file
+      // bucketed tables (e.g. coLocatedOrderJoin's) keep their sorts.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session sized to `cpus` threads — the mains' form.
@@ -82,6 +92,19 @@ object GraftSession {
     // requires it there).
     stateProviderFrom(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).foreach(
       p => s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    // Verify-side dispatch knob (A/B harness): the byte budget under
+    // which Dedup.verifyHashSets broadcasts; 0 forces the bucketed
+    // path. Unset/empty/'none'/'off' keep the library default (1.5e9).
+    sys.env.get("SPARK_GRAFT_VERIFY_BROADCAST_BYTES")
+      .map(_.trim.toLowerCase).filter(v => v.nonEmpty && v != "none" && v != "off")
+      .foreach { v =>
+        val b = try v.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_VERIFY_BROADCAST_BYTES must be a number, got '$v'")
+        }
+        require(b >= 0, s"SPARK_GRAFT_VERIFY_BROADCAST_BYTES must be >= 0, got $b")
+        s.conf.set(text.Dedup.VerifyBroadcastBytesKey, b.toString)
+      }
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -34,7 +34,7 @@ object LegBench {
     }
     val keys = dirs.flatMap(d => queries.map(q => (d, q)))
     def label(k: (String, String)) = s"${k._1}#${k._2}"
-    def med(xs: Vector[Double]) = { val s = xs.sorted; s(s.length / 2) }
+    def med(xs: Vector[Double]) = BenchStats.median(xs)
     println("{\"metric\":\"leg_medians\",\"reps\":" + reps + "," +
       "\"medians\":{" + keys.map(k => f""""${label(k)}":${med(times(k))}%.3f""").mkString(",") + "}," +
       "\"medians_min\":{" + keys.map(k => f""""${label(k)}":${times(k).min}%.3f""").mkString(",") + "}," +

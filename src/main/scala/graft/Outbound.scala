@@ -33,12 +33,17 @@ object Outbound {
 
   /** The sanitized dir name alone is lossy ('target/sf1x' and
     * 'target_sf1x' collide); an md5 suffix of the RAW dir makes the
-    * stage path injective so two sources can never share one stage. */
+    * stage path injective so two sources can never share one stage, and
+    * the owning pid keeps two PROCESSES on the same dir (campaign clone
+    * + working tree) from clobbering one stage mid-read — the
+    * computeIfAbsent build-once cache is JVM-local, so the path must
+    * be too. */
   private[graft] def sharedStagePath(dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     "/root/repo/target/stage/outbound_shared/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest +
+      s"_p${ProcessHandle.current().pid()}"
   }
 
   def shared(spark: SparkSession, dir: String): PushResult = {

@@ -87,7 +87,7 @@ object PairLegBench {
 
     val keys = dirs.flatMap(d => legs.map { case (l, _) => (d, l) })
     def label(k: (String, String)) = s"${k._1}#${k._2}"
-    def med(xs: Vector[Double]) = { val s = xs.sorted; s(s.length / 2) }
+    def med(xs: Vector[Double]) = BenchStats.median(xs)
     println("{\"metric\":\"pair_leg_medians\",\"reps\":" + reps +
       ",\"budget_per_doc\":" + budget + "," +
       recall.map { case (d, ne, nh) =>

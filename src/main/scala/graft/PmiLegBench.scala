@@ -54,7 +54,7 @@ object PmiLegBench {
       spark.catalog.clearCache()
     }
 
-    def med(xs: Vector[Double]) = { val s = xs.sorted; s(s.length / 2) }
+    def med(xs: Vector[Double]) = BenchStats.median(xs)
     println("{\"metric\":\"pmi_leg_medians\",\"reps\":" + reps +
       ",\"top_v\":" + topV + "," +
       "\"medians\":{" + dirs.map(d => f""""$d":${med(times(d))}%.3f""").mkString(",") + "}," +

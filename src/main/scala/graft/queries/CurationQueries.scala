@@ -994,8 +994,13 @@ object CurationQueries {
     * stages 1–5; trainGate runs 20 bounded collect rounds), so any
     * harness timing this query must wrap construction + action in one
     * window. Bench/LegBench both time `fn(spark, dir).count()`, which
-    * does exactly that; plan-only inspection (Explain) re-executes the
-    * checkpointed stages and is NOT a cheap operation here. */
+    * does exactly that. Plan-only consumers must NOT construct through
+    * this registration: pass `lazyCheckpoints = true` to
+    * `Flagship.curationPipeline` instead (graft.Explain does), which
+    * defers the seam executions to the first action while cutting
+    * lineage identically. The registered form stays eager on purpose —
+    * it keeps the bench contract (construction + one action = total
+    * cost) and the committed decade artifacts comparable. */
   private val flagshipCuration = Q("q_flagship_curation",
     (s, dir) => graft.Flagship.curationPipeline(s, dir),
     Some(flagshipSql))

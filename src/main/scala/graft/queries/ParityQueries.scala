@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{Sinks, Tables}
+import graft.sources.{Sinks, Stage, Tables}
 import graft.functions.Scalars
 import graft.operators._
 
@@ -137,6 +137,40 @@ object ParityQueries {
         sqrt(p_retailprice) AS price_sqrt,
         regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled
       FROM part"""))
+
+  // ---------------------------------------------------------------- F20
+  /** Loose cross-type equality — the SURVEY §7 implicit-cast risk,
+    * finally pinned: the reference compares the SAME attribute column
+    * to a string literal in one place (`'66'`, `FULL:217`) and an int
+    * literal in another (`9`, `FULL:644`) and leans on engine implicit
+    * casts. Spark 4 (ANSI) resolves `string_col = 9` by casting the
+    * STRING side to bigint — so `'09' = 9` is TRUE (numeric equality)
+    * while `'09' = '9'` is FALSE (string equality); the lpad'd key
+    * column makes both cases non-vacuous on every row ending in 9. The
+    * DuckDB oracle mirrors the resolution with an EXPLICIT cast — the
+    * gate a regression in either engine's implicit-cast path trips.
+    * Domain note: ANSI Spark THROWS on non-integral strings
+    * (`'9.0' = 9` is an error where DuckDB says true), so the parity
+    * surface is integral digit strings — exactly the reference's usage
+    * (zero-padded code values). */
+  private val f20 = Q("q_f_cross_type_eq",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        lpad((col("o_orderkey") % 100).cast("string"), 2, "0").as("key_str"))
+        .select(
+          col("o_orderkey"), col("key_str"),
+          (col("key_str") === lit("66")).as("eq_str_66"),   // FULL:217 shape
+          (col("key_str") === lit(9)).as("eq_int_9"),       // FULL:644 shape
+          (col("key_str") === lit("9")).as("eq_str_9")),    // the divergence
+    Some("""
+      SELECT o_orderkey,
+        lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS key_str,
+        lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') = '66' AS eq_str_66,
+        CAST(lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS BIGINT) = 9
+          AS eq_int_9,
+        lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') = '9' AS eq_str_9
+      FROM orders"""))
 
   // ---------------------------------------------------------------- F5
   /** CASE-WHEN recode ladders — the enum-recode workhorse
@@ -668,7 +702,7 @@ object ParityQueries {
         t(s, dir, "orders")
           .where(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
-        "/root/repo/target/stage/q_s2_sink_roundtrip")
+        Stage.work("q_s2_sink_roundtrip", dir))
       staged.select("o_orderkey", "o_custkey", "o_totalprice")
     },
     Some("""
@@ -730,7 +764,7 @@ object ParityQueries {
     * structs, array order) instead of recording a rows-only pass. */
   private val docNested = Q("q_doc_assembly_nested",
     (s, dir) => {
-      val work = "/root/repo/target/stage/q_doc_assembly_nested"
+      val work = Stage.work("q_doc_assembly_nested", dir)
       Documents.prospectDocument(docInput(s, dir))
         .write.mode("overwrite").parquet(work)
       flattenProspectDoc(s.read.parquet(work))
@@ -777,7 +811,7 @@ object ParityQueries {
       FROM t"""))
 
   val all: Seq[Q] = Seq(
-    s1, o2Limit, pShape, fScalar, fDatetime, f5, f19, fArray,
+    s1, o2Limit, pShape, fScalar, fDatetime, f5, f19, f20, fArray,
     j1, j2, typed, j3, j3r, j3e, j3a, j4, j6, a3,
     w1, w1s, w2, u1, u2, u3, u4, u5, p9, ladder,
     a1, aggPricing, evWindow, sink, docFlat, docNested)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Stage, Tables}
 import graft.multimodal.Multimodal
 import graft.streaming.EventsStream
 
@@ -63,7 +63,7 @@ object PipelineQueries {
     * survived the trip (with the derived partition column). */
   private val streamSink = Q("q_stream_foreachbatch_sink",
     (s, dir) => graft.streaming.EventsStream.sinkViaForeachBatch(s, dir,
-      "/root/repo/target/stage/q_stream_foreachbatch_sink")
+      Stage.work("q_stream_foreachbatch_sink", dir))
       .select(col("event_id"), col("event_type"), col("value"),
         // DATE dtypes diverge across engines in pandas; compare as string
         col("event_date").cast("string").as("event_date")),
@@ -93,7 +93,7 @@ object PipelineQueries {
     * batch left join (the oracle). */
   private val streamOuter = Q("q_stream_outer_join",
     (s, dir) => graft.streaming.EventsStream.leftOuterJoin(s, dir,
-      "/root/repo/target/stage/q_stream_outer_join"),
+      Stage.work("q_stream_outer_join", dir)),
     Some("""
       WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
                       FROM events WHERE event_type = 'click'),
@@ -111,7 +111,7 @@ object PipelineQueries {
     * the batch groupBy exactly. */
   private val streamTws = Q("q_stream_transform_state",
     (s, dir) => graft.streaming.TransformWithState.runningUserAggregates(
-      s, dir, "/root/repo/target/stage/q_stream_transform_state"),
+      s, dir, Stage.work("q_stream_transform_state", dir)),
     Some("""
       SELECT user_id, count(*) AS n_events,
         max(epoch_us(ts)) AS last_ts_us
@@ -124,7 +124,7 @@ object PipelineQueries {
     * running query. The audited state must equal the batch groupBy. */
   private val stateReader = Q("q_stream_state_reader",
     (s, dir) => {
-      val work = "/root/repo/target/stage/q_stream_state_reader"
+      val work = Stage.work("q_stream_state_reader", dir)
       // run the stateful pipeline to produce a fresh checkpoint
       graft.streaming.TransformWithState.runningUserAggregates(s, dir, work)
         .count()
@@ -146,7 +146,7 @@ object PipelineQueries {
     * surrogate session ordinal. */
   private val streamSessionize = Q("q_stream_sessionize",
     (s, dir) => graft.streaming.Sessionize.sessionizeQuery(s, dir,
-      "/root/repo/target/stage/q_stream_sessionize"),
+      Stage.work("q_stream_sessionize", dir)),
     Some("""
       WITH l AS (
         SELECT user_id, ts, event_id,
@@ -267,7 +267,7 @@ object PipelineQueries {
     * instead of recording rows-only. */
   private val flagship = Q("q_flagship_pipeline",
     (s, dir) => {
-      val work = "/root/repo/target/stage/q_flagship_pipeline"
+      val work = Stage.work("q_flagship_pipeline", dir)
       graft.Flagship.prospectPipeline(s, dir)
         .write.mode("overwrite").parquet(work)
       flattenDoc(s.read.parquet(work))
@@ -444,7 +444,7 @@ object PipelineQueries {
     * validation report stays asserted in tests. */
   private val outbound = Q("q_outbound_push",
     (s, dir) => {
-      val work = "/root/repo/target/stage/q_outbound_push"
+      val work = Stage.work("q_outbound_push", dir)
       graft.Outbound.shared(s, dir).docs
         .write.mode("overwrite").parquet(s"$work/docs_nested")
       flattenDoc(s.read.parquet(s"$work/docs_nested"))
@@ -550,7 +550,7 @@ object PipelineQueries {
     * window, which the converged state must equal exactly. */
   private val streamMerge = Q("q_stream_merge_sink",
     (s, dir) => graft.streaming.EventsStream.mergeSink(s, dir,
-      "/root/repo/target/stage/q_stream_merge_sink"),
+      Stage.work("q_stream_merge_sink", dir)),
     Some("""
       WITH r AS (
         SELECT user_id, ts, event_id, value,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{Bucketing, Jdbc, Sinks, Tables}
+import graft.sources.{Bucketing, Jdbc, Sinks, Stage, Tables}
 import graft.operators.Delta
 
 /** Remaining source/sink/catalog surface (SURVEY.md §2a) + the §5
@@ -41,7 +41,7 @@ object SourceQueries {
     * REST-JSON → DataFrame lift, done at the file layer). */
   private val jsonRoundtrip = Q("q_s7_json_roundtrip",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s7_json_roundtrip"
+      val path = Stage.work("q_s7_json_roundtrip", dir)
       Tables.load(s, dir, "events")
         .select("event_id", "event_type", "value")
         .write.mode("overwrite").json(path)
@@ -72,7 +72,7 @@ object SourceQueries {
     * free, no fs.exists probes. Plan shape pinned in Round8Spec. */
   private val jsonPaged = Q("q_s7_json_paged",
     (s, dir) => {
-      val base = "/root/repo/target/stage/q_s7_json_paged"
+      val base = Stage.work("q_s7_json_paged", dir)
       val cust = Tables.load(s, dir, "customer")
       // the first payload's cursor list, kept distributed: restrict the
       // staged pages to known cursors with a semi join, never a collect
@@ -107,7 +107,7 @@ object SourceQueries {
     * header, re-ingest with schema inference, land as a snapshot. */
   private val csvSnapshot = Q("q_s4_csv_snapshot",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s4_csv_snapshot"
+      val path = Stage.work("q_s4_csv_snapshot", dir)
       Tables.load(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .write.mode("overwrite").option("header", "true").csv(path)
@@ -134,7 +134,7 @@ object SourceQueries {
       Jdbc.snapshot(s, url, "supplier_src",
         partitionColumn = "s_suppkey", lowerBound = 0L, upperBound = 10000L,
         numPartitions = 4,
-        stagePath = "/root/repo/target/stage/q_s4_jdbc_snapshot")
+        stagePath = Stage.work("q_s4_jdbc_snapshot", dir))
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey"), col("s_acctbal"))
     },
@@ -146,11 +146,11 @@ object SourceQueries {
     * discovery. */
   private val partSink = Q("q_s2_partitioned_sink",
     (s, dir) => {
+      val path = Stage.work("q_s2_partitioned_sink", dir)
       val src = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-      Sinks.writePartitioned(src,
-        "/root/repo/target/stage/q_s2_partitioned_sink", Seq("o_orderstatus"))
-      s.read.parquet("/root/repo/target/stage/q_s2_partitioned_sink")
+      Sinks.writePartitioned(src, path, Seq("o_orderstatus"))
+      s.read.parquet(path)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     },
     Some("""
@@ -176,7 +176,7 @@ object SourceQueries {
     (s, dir) => {
       // own stage path — sharing q_s2_partitioned_sink's directory would
       // be an ordering hazard if queries ever ran concurrently
-      val path = "/root/repo/target/stage/q_s9_show_partitions"
+      val path = Stage.work("q_s9_show_partitions", dir)
       Sinks.writePartitioned(
         Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
@@ -249,7 +249,7 @@ object SourceQueries {
     * semantics directly over `orders`. */
   private val schemaMerge = Q("q_s10_schema_merge",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s10_schema_merge"
+      val path = Stage.work("q_s10_schema_merge", dir)
       val base = Tables.load(s, dir, "orders")
         .where(col("o_orderstatus") === "F")
       base.filter(col("o_orderkey") % 2 === 0)
@@ -275,7 +275,7 @@ object SourceQueries {
     * pushes down the same way the parquet scans do. */
   private val orcRoundtrip = Q("q_s11_orc_roundtrip",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s11_orc_roundtrip"
+      val path = Stage.work("q_s11_orc_roundtrip", dir)
       Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
           "o_orderpriority")
@@ -315,7 +315,7 @@ object SourceQueries {
     * file-count/size bounds are asserted in LayoutTemporalSpec. */
   private val compactSink = Q("q_s2_compact_sink",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s2_compact_sink"
+      val path = Stage.work("q_s2_compact_sink", dir)
       Sinks.compactWrite(
         Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
         path, col("doc_id"), nPartitions = 4, maxRecordsPerFile = 100L)
@@ -332,7 +332,7 @@ object SourceQueries {
     * against the staging rule. */
   private val jsonCorrupt = Q("q_s7_json_corrupt",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s7_json_corrupt"
+      val path = Stage.work("q_s7_json_corrupt", dir)
       Tables.load(s, dir, "events")
         .select(when(col("event_id") % 10 === 0,
             // truncated mid-object: unparseable on read
@@ -371,7 +371,7 @@ object SourceQueries {
     * is asserted in LayoutTemporalSpec. */
   private val prunedScan = Q("q_skip_pruned_scan",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_skip_pruned_scan"
+      val path = Stage.work("q_skip_pruned_scan", dir)
       graft.functions.ZOrder.clusterByZ(
           Tables.load(s, dir, "lineitem")
             .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
@@ -422,13 +422,18 @@ object SourceQueries {
     * objects. Content bytes stay distributed, never on the driver.
     *
     * Staged-path-oracle protocol note (also S14): the DuckDB twin reads
-    * the files THIS run staged, so dump and compare must run against
-    * one scale factor at a time — interleaving a second-sf Verify
-    * between dump and compare overwrites the stage and misreads as a
-    * hash mismatch. The driver's gate is single-sf by construction. */
+    * the files the query staged BY PATH, and the oracle SQL is a fixed
+    * string — so the stage path is keyed on the input dir
+    * (Stage.forInput: a concurrent bench at another scale factor can
+    * never overwrite this dir's stage mid-read, the r13 hazard) and the
+    * oracle pins the path the DRIVER's correctness gate stages, i.e.
+    * its /root/testdata/sf0.01 Verify run. A Verify at any other dir
+    * still stages and dumps correctly; only the DuckDB twin is bound to
+    * the driver's gate dir — same single-sf contract as before, now
+    * clobber-proof. */
   private val binaryIngest = Q("q_s13_binary_ingest",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s13_binary_ingest"
+      val path = Stage.forInput("q_s13_binary_ingest", dir)
       Tables.load(s, dir, "documents").repartition(4)
         .write.mode("overwrite").parquet(path)
       // part ordinal, not the raw file name: Spark part files embed a
@@ -446,7 +451,7 @@ object SourceQueries {
           'part-([0-9]+)', 1) AS BIGINT) AS file_idx,
         CAST(size AS BIGINT) AS length
       FROM read_blob(
-        '/root/repo/target/stage/q_s13_binary_ingest/part-*.parquet')"""))
+        '/root/repo/target/stage/q_s13_binary_ingest/_root_testdata_sf0.01/part-*.parquet')"""))
 
   /** S14: file-provenance columns (`_metadata.file_name`) — per-file row
     * counts and key ranges over a range-partitioned layout: the
@@ -455,7 +460,7 @@ object SourceQueries {
     * data-skipping manifest the z-order layout uses). */
   private val fileProvenance = Q("q_s14_file_provenance",
     (s, dir) => {
-      val path = "/root/repo/target/stage/q_s14_file_provenance"
+      val path = Stage.forInput("q_s14_file_provenance", dir)
       Tables.load(s, dir, "documents")
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(path)
@@ -474,7 +479,7 @@ object SourceQueries {
         count(*) AS n_rows,
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM read_parquet(
-        '/root/repo/target/stage/q_s14_file_provenance/part-*.parquet',
+        '/root/repo/target/stage/q_s14_file_provenance/_root_testdata_sf0.01/part-*.parquet',
         filename = true)
       GROUP BY 1"""))
 
@@ -629,8 +634,10 @@ object SourceQueries {
       val nested = sampled.unionByName(full)
         .select(col("mode"), struct(col("doc_id"), col("leadid"),
           col("lang"), col("source")).as("doc"))
-      val work = "/root/repo/target/stage/q_s5_outbound_sampled/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      // Stage.work (per-input-dir + owning pid): the r14 advice's
+      // residual hazard — two processes on the SAME dir (campaign
+      // clone + working tree) clobbering one per-dir path mid-read
+      val work = Stage.work("q_s5_outbound_sampled", dir)
       nested.write.mode("overwrite").parquet(work)
       s.read.parquet(work).select(col("mode"),
         col("doc.doc_id").as("doc_id"), col("doc.leadid").as("leadid"),

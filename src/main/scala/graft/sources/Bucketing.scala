@@ -23,6 +23,56 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Stage `df` as a bucketed, per-bucket-SORTED external table and
+    * return its scan — the shuffle-once layout for frames that feed
+    * MULTIPLE downstream joins on the same key (the capped-pair verify
+    * side joins the per-doc hash-set frame twice, once per pair
+    * endpoint; the incremental-dedup band index is probed by every
+    * batch). One hash shuffle at write time buys every later join a
+    * scan that already satisfies the join's clustering — no broadcast
+    * ceiling, no re-shuffle, no external sort of this side, at any
+    * frame size.
+    *
+    * `repartition(buckets, keys)` before the write is load-bearing:
+    * repartition's HashPartitioning uses the same murmur3-pmod hash as
+    * the bucket-id assignment, so each write task holds exactly one
+    * bucket and emits ONE file — and Spark only exposes a bucketed
+    * scan's per-bucket sort order (skipping the join-side SortExec)
+    * when a bucket is a single file.
+    *
+    * The table name and path are unique per (JVM, call): concurrent
+    * sessions in separate processes can never clobber each other's
+    * stage (the r13 fixed-path hazard), and repeated constructions in
+    * one session never overwrite a stage an earlier plan still reads.
+    * Cleanup rides [[graft.CacheScope.defer]]: inside a `scoped` block
+    * the table is dropped and its files deleted at scope exit; with no
+    * scope active the stage lives for the session (same contract as
+    * CacheScope.persist — the embedding process manages it). */
+  def stageBucketed(df: DataFrame, tag: String, buckets: Int,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "stageBucketed needs at least one bucket key")
+    val spark = df.sparkSession
+    val id = s"${tag}_p${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}"
+    val table = s"graft_stage_$id"
+    val path = s"/root/repo/target/stage/bucketed/$id"
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+    graft.CacheScope.defer { () =>
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    }
+    spark.table(table)
+  }
+
   /** orders ⋈ lineitem on the order key via matching bucket layouts; the
     * sort-merge join consumes bucket-local sorted data directly (no
     * Exchange on either side — asserted in BucketingSpec). */

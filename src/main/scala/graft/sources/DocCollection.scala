@@ -72,6 +72,27 @@ object DocCollection {
       .option("recursiveFileLookup", "true") // collections nest shards
       .json(path)
 
+  /** Fingerprint of the source `documents` table's file listing
+    * (name, length, mtime per data file): the build-if-absent marker is
+    * keyed on THIS, not just the dir path, so a regenerated fixture at
+    * the same path (the repo regenerates target/sf* fixtures routinely)
+    * invalidates the stage instead of silently serving stale data —
+    * the r14 advice. Driver-side listing only; never reads row data. */
+  private def sourceStamp(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile)
+        parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Stage the two-shard JSON collection fixture the bounded-sample
     * queries read (no document store exists in the sandbox — this
     * stands in for the collection, verdict r12 #2). Head shard
@@ -81,14 +102,20 @@ object DocCollection {
     * DERIVED FROM THE INPUT DIR — the registered queries are
     * read-only once staged, and concurrent sessions at different
     * scale factors can't overwrite each other mid-read (the r13
-    * fixed-path hazard). */
+    * fixed-path hazard). The marker embeds a digest of the source
+    * table's file listing (stale stages rebuild when the fixture is
+    * regenerated) and is created ATOMICALLY (temp + rename) so two
+    * processes racing past the exists check resolve safely: the
+    * rename loser's build wrote the same content from the same
+    * source. */
   def stageFixture(spark: SparkSession, dir: String): String = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"/root/repo/target/stage/doc_collection/$tag"
     val coll = s"$base/coll"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$base/_STAGED")
+    val stamp = sourceStamp(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_STAGED_$stamp")
     if (!fs.exists(marker)) {
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -100,7 +127,13 @@ object DocCollection {
         .withColumn("extra_score",
           round(col("n_chars").cast("double") / 100.0, 2))
         .coalesce(1).write.mode("overwrite").json(s"$coll/b_tail")
-      fs.create(marker, true).close()
+      // clear markers from older fixture generations, then publish ours
+      val stale = fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/_STAGED_*"))
+      if (stale != null) stale.foreach(m => fs.delete(m.getPath, false))
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$base/._staged_${ProcessHandle.current().pid()}.tmp")
+      fs.create(tmp, true).close()
+      if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
     }
     coll
   }

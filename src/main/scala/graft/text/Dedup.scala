@@ -47,10 +47,21 @@ object Dedup {
   /** Verify-side broadcast budget: the hash-set frame broadcasts when
     * its estimated build size (~48 B/row + 8 B/posting) fits. 1.5 GB
     * clears a 5M-doc corpus shard and stays far under Spark's 8 GB
-    * broadcast build limit; above it the sort-merge path stands — on a
-    * cluster ITS spill is executor-local and parallelizes, while
-    * shipping multi-GB builds to every executor would not. */
-  private val BroadcastVerifyBytes = 1.5e9
+    * broadcast build limit. Above it the frame is staged through the
+    * BUCKETED sink ([[graft.sources.Bucketing.stageBucketed]]) instead
+    * of reverting to a plain sort-merge join: the round-12 SMJ fallback
+    * re-shuffled AND externally sorted the multi-GB hash-set frame once
+    * per verify join (53.8 GB written at 1M docs — write-bandwidth
+    * bound), while the bucketed stage pays ONE hash shuffle at write
+    * time and both joins then read bucket-local pre-sorted files with
+    * no exchange and no sort on this side — no broadcast memory
+    * ceiling, executor-count-parallel at any corpus size.
+    * Tunable for measurement via the session conf (set 0 to force the
+    * bucketed path, mapped from SPARK_GRAFT_VERIFY_BROADCAST_BYTES by
+    * GraftSession). */
+  private[graft] val VerifyBroadcastBytesKey = "spark.graft.verifyBroadcastBytes"
+  private def broadcastVerifyBytes(sh: DataFrame): Double =
+    sh.sparkSession.conf.get(VerifyBroadcastBytesKey, "1.5e9").toDouble
 
   /** The verify stage's hash-set side, ADAPTIVELY broadcast. The frame
     * is one bounded row per document, and the verify joins consume it
@@ -63,13 +74,19 @@ object Dedup {
     * hash-identical. The size estimate is a fenced driver scalar (one
     * aggregate over the persisted per-doc frame — counts, never row
     * data), the same dispatch pattern as [[jaccardPairs]]' pair-mass
-    * budget. */
+    * budget. Above the broadcast budget the frame routes through the
+    * bucketed sink (see [[broadcastVerifyBytes]]); the alias-aware
+    * output partitioning of the downstream `doc_id as da/db` renames
+    * carries the bucket layout into both verify joins, so only the
+    * (smaller-rowed) candidate side ever shuffles. */
   private def verifyHashSets(sh: DataFrame): DataFrame = {
     val hs = graft.CacheScope.persist(docHashSets(sh))
     val r = hs.agg(count(lit(1)).as("rows"),
       coalesce(sum(col("n")), lit(0L)).as("postings")).head()
     val est = r.getLong(0) * 48L + r.getLong(1) * 8L
-    if (est <= BroadcastVerifyBytes) broadcast(hs) else hs
+    if (est <= broadcastVerifyBytes(sh)) broadcast(hs)
+    else graft.sources.Bucketing.stageBucketed(hs, "vhs",
+      sh.sparkSession.sessionState.conf.numShufflePartitions, Seq("doc_id"))
   }
 
   val P: Long = 2147483647L // 2^31-1, Mersenne prime
@@ -113,9 +130,11 @@ object Dedup {
 
   /** The banded index over MinHash signatures — (doc_id, band_idx,
     * band_val), r=2 rows/band → k/2 bands. This is the frame a
-    * production corpus STORES (bucketed by band_val, the S2 bucketed
-    * sink): incremental dedup joins new batches against it without
-    * ever re-shingling the corpus. */
+    * production corpus STORES (bucketed on (band_idx, band_val) — the
+    * full join key, so co-partitioning needs no subset-key relaxation —
+    * via the bucketed sink): incremental dedup joins new batches
+    * against it without ever re-shingling the corpus, and without ever
+    * shuffling the stored index (plan-asserted in Round15Spec). */
   def bandIndex(sigs: DataFrame): DataFrame = {
     val bands = (0 until K / 2).map { b =>
       struct(lit(b).as("band_idx"),
@@ -155,28 +174,41 @@ object Dedup {
     *
     * 100 TB shape: the only corpus-side input is the index — at k=16 /
     * r=2 that is 8 rows × ~24 B per corpus doc, ~0.2% of corpus bytes —
-    * and the join is equi-keyed on (band_idx, band_val), so a corpus
-    * index bucketed by band_val (the S2 bucketed-sink layout) makes the
-    * whole operation a map-side bucket join against the new batch's
-    * bands; the corpus is never scanned, shuffled, or re-hashed. New
-    * docs with no shingles (< 3 tokens) have no bands and keep
-    * trivially, matching [[minhashSignatures]]' domain. */
+    * and the corpus leg is a SEPARATE equi join on exactly
+    * (band_idx, band_val), so a corpus index stored through the
+    * bucketed sink on those keys ([[graft.sources.Bucketing
+    * .stageBucketed]]) joins with NO corpus-side exchange: only the
+    * (day-sized) batch's bands shuffle to the index's bucket layout,
+    * and the corpus is never scanned, shuffled, or re-hashed
+    * (plan-asserted in Round15Spec, measured in
+    * BENCH_INCREMENTAL_SPLIT.json). Unioning the corpus index with the
+    * batch bands BEFORE the join — the previous form — would discard
+    * the stored layout, which is why the corpus and same-batch blame
+    * legs are separate joins whose results union. New docs with no
+    * shingles (< 3 tokens) have no bands and keep trivially, matching
+    * [[minhashSignatures]]' domain. */
   def incrementalLshDedup(newDocs: DataFrame,
       corpusIndex: DataFrame): DataFrame = {
     val nb = graft.CacheScope.persist(
       bandIndex(minhashSignatures(shingles(newDocs))))
     // corpus entries always blame; same-batch entries only when their
-    // id is smaller — tag the side instead of special-casing id spaces
-    val others = corpusIndex
-      .select(col("doc_id"), col("band_idx"), col("band_val"))
-      .withColumn("corp", lit(true))
-      .unionByName(nb.withColumn("corp", lit(false)))
-    val blamed = nb.alias("n").join(others.alias("o"),
+    // id is smaller. Two joins, not one join against a union: the
+    // corpus leg's join keys must line up with the stored index's
+    // bucket layout for the exchange-free plan (scaladoc above).
+    val corpusBlame = nb.alias("n").join(
+      corpusIndex.select(col("doc_id"), col("band_idx"), col("band_val"))
+        .alias("o"),
       col("n.band_idx") === col("o.band_idx") &&
-        col("n.band_val") === col("o.band_val") &&
-        (col("o.corp") || col("o.doc_id") < col("n.doc_id")))
+        col("n.band_val") === col("o.band_val"))
       .select(col("n.doc_id").as("doc_id"),
         col("o.doc_id").as("dup_of"))
+    val batchBlame = nb.alias("n").join(nb.alias("o"),
+      col("n.band_idx") === col("o.band_idx") &&
+        col("n.band_val") === col("o.band_val") &&
+        col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("doc_id"),
+        col("o.doc_id").as("dup_of"))
+    val blamed = corpusBlame.unionByName(batchBlame)
     // union + min-aggregate rather than a left join against the blame
     // aggregate: identical output (min skips the sentinel nulls), one
     // key shuffle either way — but a left join whose right side is an

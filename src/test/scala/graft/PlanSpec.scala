@@ -121,7 +121,7 @@ class PlanSpec extends SparkSuite {
     // materialize the partitioned sink, then read one partition back
     SparkEntry.queries("q_s2_partitioned_sink")(spark, sf).count()
     val df = spark.read
-      .parquet("/root/repo/target/stage/q_s2_partitioned_sink")
+      .parquet(graft.sources.Stage.work("q_s2_partitioned_sink", sf))
       .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
     df.count()
     val plan = df.queryExecution.executedPlan.toString

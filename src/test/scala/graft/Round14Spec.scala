@@ -120,8 +120,11 @@ class Round14Spec extends SparkSuite {
     graft.CacheScope.scoped {
       val corpus = docs.where(col("doc_id") % 3 =!= 0)
       val batch = docs.where(col("doc_id") % 3 === 0)
-      val idx = Dedup.bandIndex(Dedup.minhashSignatures(
-        Dedup.shingles(corpus))).persist()
+      // CacheScope.persist, not bare .persist(): the scoped block only
+      // unpersists scope-registered frames — a bare persist would leak
+      // cached partitions into the suite's shared session
+      val idx = graft.CacheScope.persist(Dedup.bandIndex(
+        Dedup.minhashSignatures(Dedup.shingles(corpus))))
       val out = Dedup.incrementalLshDedup(batch, idx)
         .collect().map(r => (r.getLong(0), r.getBoolean(1),
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+import graft.sources.Bucketing
+import graft.text.Dedup
+
+/** Round-15 seams: the bucketed verify path for the capped-pair family
+  * (the r14 verdict's one `weak` — the plan claims behind it are
+  * asserted here, the wall-clock trend in
+  * BENCH_SCALING_CAPPED_3RD_WIDE.json), and the bucketed stored band
+  * index for incremental LSH dedup (the Dedup scaladoc claim r14 left
+  * unmeasured and un-asserted).
+  */
+class Round15Spec extends SparkSuite {
+
+  /** The physical plan with AQE + broadcast joins disabled: these tests
+    * pin EnsureRequirements' static shuffle decisions around bucketed
+    * scans, which tiny test frames would otherwise hide behind runtime
+    * broadcasts. */
+  private def staticPlan(build: => DataFrame): SparkPlan = {
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(keys(0), "false")
+      spark.conf.set(keys(1), "-1")
+      val df = build
+      df.count()
+      df.queryExecution.executedPlan
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  /** A join side DIRECTLY fed by a bucketed scan: an unbroken
+    * single-child chain (projections/filters/codegen shims — anything
+    * unary) from the side's root down to a bucketed FileSourceScan.
+    * Sides where the scan sits below another join/union/aggregate are
+    * not direct — their exchanges shuffle a derived intermediate, which
+    * is legitimate. */
+  private def chainToBucketScan(p: SparkPlan)
+      : Option[(Seq[SparkPlan], FileSourceScanExec)] = p match {
+    case f: FileSourceScanExec =>
+      if (f.bucketedScan) Some((Nil, f)) else None
+    case u if u.children.size == 1 =>
+      chainToBucketScan(u.children.head).map { case (c, f) => (u +: c, f) }
+    case _ => None
+  }
+
+  /** Every sort-merge-join side DIRECTLY reading a bucketed file scan
+    * must consume the bucket layout as-is: no exchange, no sort, in the
+    * chain between the join and the scan. Returns how many such sides
+    * were checked. */
+  private def assertBucketSidesClean(plan: SparkPlan): Int = {
+    val sides = plan.collect { case j: SortMergeJoinExec => j }
+      .flatMap(j => Seq(j.left, j.right))
+      .flatMap(chainToBucketScan)
+    sides.foreach { case (chain, _) =>
+      assert(!chain.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"bucketed join side re-shuffles:\n${chain.head}")
+      assert(!chain.exists(_.isInstanceOf[SortExec]),
+        s"bucketed join side re-sorts:\n${chain.head}")
+    }
+    sides.size
+  }
+
+  private def docs = sources.Tables.load(spark, sf, "documents")
+
+  test("verify dispatch: bucketed path output is identical to broadcast path") {
+    CacheScope.scoped {
+      val viaBroadcast = Dedup.containmentPairsCapped(
+        Dedup.shingles(docs), threshold = 0.5).collect().toSet
+      try {
+        spark.conf.set(Dedup.VerifyBroadcastBytesKey, "0")
+        val viaBucketed = Dedup.containmentPairsCapped(
+          Dedup.shingles(docs), threshold = 0.5).collect().toSet
+        assert(viaBucketed == viaBroadcast)
+        assert(viaBroadcast.nonEmpty) // vacuity guard
+      } finally spark.conf.unset(Dedup.VerifyBroadcastBytesKey)
+    }
+  }
+
+  test("bucketed verify: both hash-set joins read the bucket layout with no exchange and no sort") {
+    CacheScope.scoped {
+      try {
+        spark.conf.set(Dedup.VerifyBroadcastBytesKey, "0")
+        val plan = staticPlan(
+          Dedup.containmentPairsCapped(Dedup.shingles(docs), threshold = 0.5))
+        // both verify joins (da endpoint, db endpoint) consume the stage
+        assert(assertBucketSidesClean(plan) == 2, plan.toString.take(2000))
+      } finally spark.conf.unset(Dedup.VerifyBroadcastBytesKey)
+    }
+  }
+
+  test("stageBucketed: one file per bucket, scope-managed cleanup") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    var path: java.io.File = null
+    CacheScope.scoped {
+      val staged = Bucketing.stageBucketed(df, "r15spec", 4, Seq("k"))
+      assert(staged.count() == 1000L)
+      val scans = staged.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      // a bare count reads the table unbucketed (auto-bucketed-scan
+      // elides the layout when nothing consumes it) — the layout itself
+      // is on the relation; its join-side use is asserted below
+      assert(scans.head.relation.bucketSpec.exists(_.numBuckets == 4))
+      path = scans.head.relation.location.rootPaths.head
+        .toUri.getPath match { case p => new java.io.File(p) }
+      // the repartition-before-write contract: each bucket is ONE file,
+      // which is what lets the scan expose the per-bucket sort order
+      val parts = path.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length <= 4 && parts.length > 0, parts.mkString(","))
+      assert(parts.map(_.getName).distinct.length == parts.length)
+    }
+    // scope exit dropped the table and deleted the staged files
+    assert(!path.exists(), s"staged files survived the scope: $path")
+    val leaked = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_stage_r15spec")).count()
+    assert(leaked == 0, "staged table survived the scope")
+  }
+
+  test("incremental LSH: bucketed stored index joins with no corpus-side exchange") {
+    CacheScope.scoped {
+      val corpus = docs.where(col("doc_id") % 4 =!= 0)
+      val batch = docs.where(col("doc_id") % 4 === 0)
+      // the stored layout: bucketed on the FULL corpus-leg join key
+      val storedIdx = Bucketing.stageBucketed(
+        Dedup.bandIndex(Dedup.minhashSignatures(Dedup.shingles(corpus))),
+        "r15idx", 4, Seq("band_idx", "band_val"))
+      val plan = staticPlan(Dedup.incrementalLshDedup(batch, storedIdx))
+      // exactly one SMJ side reads the bucketed index (the corpus leg);
+      // the batch-vs-batch leg joins two in-memory band frames
+      assert(assertBucketSidesClean(plan) == 1, plan.toString.take(2000))
+    }
+  }
+
+  test("incremental LSH: stored bucketed index and raw index agree row-for-row") {
+    CacheScope.scoped {
+      val corpus = docs.where(col("doc_id") % 4 =!= 0)
+      val batch = docs.where(col("doc_id") % 4 === 0)
+      val rawIdx = Dedup.bandIndex(
+        Dedup.minhashSignatures(Dedup.shingles(corpus)))
+      val viaRaw = Dedup.incrementalLshDedup(batch, rawIdx)
+        .collect().toSet
+      val storedIdx = Bucketing.stageBucketed(rawIdx, "r15eq", 4,
+        Seq("band_idx", "band_val"))
+      val viaStored = Dedup.incrementalLshDedup(batch, storedIdx)
+        .collect().toSet
+      assert(viaStored == viaRaw)
+      assert(viaRaw.nonEmpty)
+    }
+  }
+
+  test("curation flagship: lazy seam checkpoints produce the eager output") {
+    // the Explain path (lazyCheckpoints = true) must be a pure WHEN
+    // change — same lineage cut, same rows once an action runs
+    val eager = Flagship.curationPipeline(spark, sf)
+      .collect().map(_.toString).sorted
+    val lazyD = Flagship.curationPipeline(spark, sf, lazyCheckpoints = true)
+      .collect().map(_.toString).sorted
+    assert(lazyD.sameElements(eager))
+    assert(eager.nonEmpty)
+  }
+
+  test("verify broadcast-bytes knob: conf read with library default") {
+    // unset -> 1.5e9 default path (broadcast on the tiny test corpus);
+    // the value is read per-call so benches can flip it mid-session
+    assert(spark.conf.get(Dedup.VerifyBroadcastBytesKey, "1.5e9") == "1.5e9")
+    assert(GraftSession.stateProviderFrom(None).isEmpty) // anchor import
+  }
+}

@@ -13,6 +13,9 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // match GraftSession: single-file-per-bucket stages expose their
+    // per-bucket sort order (see the builder scaladoc there)
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .getOrCreate()
   lazy val sf: String = "/root/testdata/sf0.001"
 }
