@@ -54,7 +54,11 @@ object Bucketing {
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "stageBucketed needs at least one bucket key")
     val spark = df.sparkSession
-    val id = s"${tag}_p${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}"
+    // identifier-safe: an unquoted saveAsTable name parses '.' as a
+    // schema separator (a tag derived from "sf0.1" would otherwise
+    // resolve to schema graft_stage_..._sf0, which doesn't exist)
+    val safeTag = tag.replaceAll("[^A-Za-z0-9_]", "_")
+    val id = s"${safeTag}_p${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}"
     val table = s"graft_stage_$id"
     val path = s"/root/repo/target/stage/bucketed/$id"
     df.repartition(buckets, keys.map(col): _*)

@@ -123,6 +123,17 @@ class Round15Spec extends SparkSuite {
     assert(leaked == 0, "staged table survived the scope")
   }
 
+  test("stageBucketed: tags with identifier-hostile characters stage cleanly") {
+    import spark.implicits._
+    // a tag derived from a path like /root/testdata/sf0.1 carries a
+    // dot, which an unquoted saveAsTable parses as a schema separator
+    CacheScope.scoped {
+      val staged = Bucketing.stageBucketed(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "inc./sf0.1", 2, Seq("k"))
+      assert(staged.count() == 2L)
+    }
+  }
+
   test("incremental LSH: bucketed stored index joins with no corpus-side exchange") {
     CacheScope.scoped {
       val corpus = docs.where(col("doc_id") % 4 =!= 0)
