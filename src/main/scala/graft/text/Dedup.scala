@@ -30,14 +30,30 @@ object Dedup {
     * decade, so "shares a rare shingle" admits tens of millions of
     * candidates) that reached ~10⁹ rows and spilled past local disk.
     * Joining candidates to two of THESE rows and intersecting in-row
-    * (`array_intersect`) keeps the volume at |cands| rows with
-    * bounded per-row arrays (docs are 14–78 shingles). Exact up to a
-    * 64-bit hash collision inside one pair's union (P ≈ n²/2⁶⁴ per
-    * pair; the brute-force oracles would hash-mismatch on one). */
+    * keeps the volume at |cands| rows with bounded per-row arrays
+    * (docs are 14–78 shingles). Exact up to a 64-bit hash collision
+    * inside one pair's union (P ≈ n²/2⁶⁴ per pair; the brute-force
+    * oracles would hash-mismatch on one).
+    *
+    * The arrays are SORTED at build (once per document) so the verify
+    * stage can count the intersection with the allocation-free merge
+    * walk of [[graft.functions.SortedIntersectCountI64]] instead of
+    * `size(array_intersect(...))`, which hashes one side and
+    * materializes the full intersection array per CANDIDATE PAIR —
+    * the verify stage's dominant CPU after the joins (pair budget ×
+    * corpus size evaluations at 100 TB vs one sort per document
+    * here). */
   private def docHashSets(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
-      .agg(collect_list(xxhash64(col("s"))).as("hs"),
+      .agg(sort_array(collect_list(xxhash64(col("s")))).as("hs"),
         count(lit(1)).as("n"))
+
+  /** The verify stage's intersection size |ha ∩ hb| over the sorted
+    * hash arrays of [[docHashSets]] (codegen'd merge count). */
+  private def nCommon(sh: DataFrame): Column = {
+    graft.functions.SetExpressions.register(sh.sparkSession)
+    expr("intersect_count_i64(ha, hb)")
+  }
 
   /** [[docHashSets]] exposed for the stage-attribution probe
     * (`graft.PairStageProbe`) — diagnostics only, not an operator. */
@@ -85,8 +101,21 @@ object Dedup {
       coalesce(sum(col("n")), lit(0L)).as("postings")).head()
     val est = r.getLong(0) * 48L + r.getLong(1) * 8L
     if (est <= broadcastVerifyBytes(sh)) broadcast(hs)
+    // shuffle_hash, not sort-merge, against the bucketed stage: SMJ
+    // needs BOTH sides ordered, so while the staged side read its
+    // bucket-local sort for free, the PROBE sides paid external sorts —
+    // and join 2's probe is the wide (da, db, hash-array) intermediate,
+    // re-creating the r12 sort-spill on the other side of the join
+    // (measured: 370 s vs 30 s broadcast at 500k docs, ~60 GB transient
+    // spill at 2.5M). A shuffled hash join needs only DISTRIBUTION:
+    // the staged side's bucket layout still satisfies it with no
+    // exchange, the build is one bounded bucket's rows per task, and
+    // the probe sides hash-shuffle WITHOUT sorting — no wide sort, no
+    // ordering machinery, at any corpus size (plan-asserted in
+    // Round15Spec).
     else graft.sources.Bucketing.stageBucketed(hs, "vhs",
-      sh.sparkSession.sessionState.conf.numShufflePartitions, Seq("doc_id"))
+        sh.sparkSession.sessionState.conf.numShufflePartitions, Seq("doc_id"))
+      .hint("shuffle_hash")
   }
 
   val P: Long = 2147483647L // 2^31-1, Mersenne prime
@@ -298,8 +327,7 @@ object Dedup {
           col("n").as("na")), Seq("da"))
         .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
           col("n").as("nb")), Seq("db"))
-        .withColumn("n_common",
-          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("n_common", nCommon(sh))
         .withColumn("jaccard",
           col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
         .filter(col("jaccard") >= threshold)
@@ -393,8 +421,7 @@ object Dedup {
     cands
       .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
       .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
-      .withColumn("n_common",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("n_common", nCommon(sh))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -447,8 +474,7 @@ object Dedup {
         col("n").as("na")), Seq("da"))
       .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
         col("n").as("nb")), Seq("db"))
-      .withColumn("n_common",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("n_common", nCommon(sh))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
@@ -529,8 +555,7 @@ object Dedup {
         col("n").as("na")), Seq("da"))
       .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
         col("n").as("nb")), Seq("db"))
-      .withColumn("n_common",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("n_common", nCommon(sh))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)

@@ -298,8 +298,10 @@ class PlanSpec extends SparkSuite {
   // candidate stage must be an EQUI join keyed on the shingle, and
   // verification must intersect hashed shingle sets IN-ROW — a revert
   // to the row-join verification (|cands| × doc-length rows, the shape
-  // that spilled 79 GB at sf10x) drops `array_intersect` from the plan
-  // and these fail before the bench does.
+  // that spilled 79 GB at sf10x) drops the in-row intersection marker
+  // (`intersect_count_i64`, the codegen'd merge count over the sorted
+  // hash arrays — round 15) from the plan and these fail before the
+  // bench does.
   // ------------------------------------------------------------------
 
   private def pairPlan(df: org.apache.spark.sql.DataFrame): String = {
@@ -308,7 +310,7 @@ class PlanSpec extends SparkSuite {
   }
 
   private def assertPairShape(p: String): Unit = {
-    assert(p.contains("array_intersect"),
+    assert(p.contains("intersect_count_i64"),
       "verification must be the in-row hashed-set intersection\n" + p.take(1500))
     // candidate generation is an equi join on the shingle column `s`
     assert("Join [^\\n]*\\[s#".r.findFirstIn(p).isDefined ||

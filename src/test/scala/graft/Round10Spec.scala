@@ -33,13 +33,13 @@ class Round10Spec extends SparkSuite {
       val auto = Dedup.jaccardPairs(sh, dfCap = 10, threshold = 0.5)
       auto.count()
       val autoPlan = auto.queryExecution.executedPlan.toString
-      assert(!autoPlan.contains("array_intersect"),
+      assert(!autoPlan.contains("intersect_count_i64"),
         "small corpus must use the single-pass direct join (no hashed-set verify)")
       val forced = Dedup.jaccardPairs(sh, dfCap = 10, threshold = 0.5,
         directPairBudget = 0L)
       forced.count()
       val forcedPlan = forced.queryExecution.executedPlan.toString
-      assert(forcedPlan.contains("array_intersect"),
+      assert(forcedPlan.contains("intersect_count_i64"),
         "above-budget corpora must verify candidates against hashed shingle sets in-row")
     }
   }

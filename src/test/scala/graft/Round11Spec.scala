@@ -51,11 +51,11 @@ class Round11Spec extends SparkSuite {
       val at = Dedup.jaccardPairs(sh, dfCap = 10, threshold = 0.0,
         directPairBudget = 3L) // mass == budget -> direct path
       at.count()
-      assert(!at.queryExecution.executedPlan.toString.contains("array_intersect"))
+      assert(!at.queryExecution.executedPlan.toString.contains("intersect_count_i64"))
       val over = Dedup.jaccardPairs(sh, dfCap = 10, threshold = 0.0,
         directPairBudget = 2L) // mass > budget -> rare-postings path
       over.count()
-      assert(over.queryExecution.executedPlan.toString.contains("array_intersect"))
+      assert(over.queryExecution.executedPlan.toString.contains("intersect_count_i64"))
       assert(at.exceptAll(over).isEmpty && over.exceptAll(at).isEmpty)
     }
   }

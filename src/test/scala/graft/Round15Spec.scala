@@ -67,6 +67,41 @@ class Round15Spec extends SparkSuite {
     sides.size
   }
 
+  /** The bucketed-verify join contract (see Dedup.verifyHashSets): each
+    * join consuming the bucketed hash-set stage must be a SHUFFLED HASH
+    * join (not SMJ — SMJ would sort the probe, and join 2's probe is
+    * the wide candidate×array intermediate), building on the bucketed
+    * side with no exchange and no sort in the build chain, and with no
+    * sort anywhere in the probe chain down to its exchange (SHJ needs
+    * only distribution). Returns how many such joins were checked. */
+  private def assertShjBucketBuilds(plan: SparkPlan): Int = {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val joins = plan.collect { case j: ShuffledHashJoinExec => j }
+      .flatMap { j =>
+        val (build, probe) = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+            (j.left, j.right)
+          case _ => (j.right, j.left)
+        }
+        chainToBucketScan(build).map { case (chain, _) => (chain, probe) }
+      }
+    joins.foreach { case (buildChain, probe) =>
+      assert(!buildChain.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucketed build side re-shuffles")
+      assert(!buildChain.exists(_.isInstanceOf[SortExec]),
+        "bucketed build side re-sorts")
+      // probe chain: walk unary parents down to the first exchange —
+      // SHJ must not have inserted ordering machinery above it
+      var p = probe
+      while (p.children.size == 1 &&
+          !p.isInstanceOf[ShuffleExchangeExec]) {
+        assert(!p.isInstanceOf[SortExec], s"probe side sorts:\n$p")
+        p = p.children.head
+      }
+    }
+    joins.size
+  }
+
   private def docs = sources.Tables.load(spark, sf, "documents")
 
   test("verify dispatch: bucketed path output is identical to broadcast path") {
@@ -83,14 +118,14 @@ class Round15Spec extends SparkSuite {
     }
   }
 
-  test("bucketed verify: both hash-set joins read the bucket layout with no exchange and no sort") {
+  test("bucketed verify: both hash-set joins are SHJ building on the bucket layout, no exchange/sort on build, no sort on probe") {
     CacheScope.scoped {
       try {
         spark.conf.set(Dedup.VerifyBroadcastBytesKey, "0")
         val plan = staticPlan(
           Dedup.containmentPairsCapped(Dedup.shingles(docs), threshold = 0.5))
         // both verify joins (da endpoint, db endpoint) consume the stage
-        assert(assertBucketSidesClean(plan) == 2, plan.toString.take(2000))
+        assert(assertShjBucketBuilds(plan) == 2, plan.toString.take(2000))
       } finally spark.conf.unset(Dedup.VerifyBroadcastBytesKey)
     }
   }
@@ -175,6 +210,44 @@ class Round15Spec extends SparkSuite {
       .collect().map(_.toString).sorted
     assert(lazyD.sameElements(eager))
     assert(eager.nonEmpty)
+  }
+
+  test("intersect_count_i64 equals size(array_intersect) on sorted distinct arrays") {
+    graft.functions.SetExpressions.register(spark)
+    // deterministic pseudo-random sorted distinct arrays, plus the edge
+    // shapes: empty/empty, empty/nonempty, disjoint, identical, nulls
+    val gen = spark.range(0, 500)
+      .selectExpr(
+        """sort_array(array_distinct(transform(
+             sequence(1, cast(pmod(xxhash64(id, 1), 40) as int) + 1),
+             i -> xxhash64(id, i) % 50))) as ha""",
+        """sort_array(array_distinct(transform(
+             sequence(1, cast(pmod(xxhash64(id, 2), 40) as int) + 1),
+             i -> xxhash64(id + 7, i) % 50))) as hb""")
+      .unionByName(spark.sql(
+        """SELECT * FROM VALUES
+             (CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)),
+             (CAST(array() AS ARRAY<BIGINT>), array(1L, 2L)),
+             (array(1L, 3L), array(2L, 4L)),
+             (array(1L, 2L, 3L), array(1L, 2L, 3L)),
+             (CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS t(ha, hb)"""))
+    val bad = gen.selectExpr(
+        "intersect_count_i64(ha, hb) as fast",
+        "size(array_intersect(ha, hb)) as ref")
+      // size() yields -1 for a null input under legacy sizeOfNull=false?
+      // session is ANSI: size(NULL) is NULL, matching the expression
+      .filter(!(col("fast") <=> col("ref").cast("long")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("intersect_count_i64 rejects non-long-array inputs at analysis") {
+    graft.functions.SetExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1.0), Seq(2.0))).toDF("a", "b")
+    intercept[Exception] {
+      df.selectExpr("intersect_count_i64(a, b)").collect()
+    }
   }
 
   test("verify broadcast-bytes knob: conf read with library default") {
