@@ -54,6 +54,7 @@ object CcLegBench {
       times((dir, mode)) = times((dir, mode)) :+ secs
       println(f"""{"cc_leg_rep":$rep,"dir":"$dir","mode":"$mode","rows":$nRows,"secs":$secs%.3f}""")
       spark.catalog.clearCache()
+      System.gc() // see PairLegBench scaladoc: frees shuffle files via ContextCleaner
     }
     val keys = dirs.flatMap(d => modes.map(m => (d, m)))
     def label(k: (String, String)) =

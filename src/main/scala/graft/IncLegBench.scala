@@ -74,6 +74,7 @@ object IncLegBench {
       times((dir, form)) = times((dir, form)) :+ secs
       println(f"""{"inc_leg_rep":$rep,"dir":"$dir","form":"$form","rows":$n,"secs":$secs%.3f}""")
       spark.catalog.clearCache()
+      System.gc() // see PairLegBench scaladoc: frees shuffle files via ContextCleaner
     }
 
     val keys = dirs.flatMap(d => forms.map { case (f, _) => (d, f) })

@@ -31,6 +31,7 @@ object LegBench {
       times((dir, q)) = times((dir, q)) :+ secs
       println(f"""{"leg_rep":$rep,"dir":"$dir","query":"$q","rows":$n,"secs":$secs%.3f}""")
       spark.catalog.clearCache()
+      System.gc() // see PairLegBench scaladoc: frees shuffle files via ContextCleaner
     }
     val keys = dirs.flatMap(d => queries.map(q => (d, q)))
     def label(k: (String, String)) = s"${k._1}#${k._2}"

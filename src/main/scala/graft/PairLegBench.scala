@@ -69,6 +69,15 @@ object PairLegBench {
       times((dir, leg)) = times((dir, leg)) :+ secs
       println(f"""{"pair_leg_rep":$rep,"dir":"$dir","leg":"$leg","budget":$budget,"rows":$n,"secs":$secs%.3f}""")
       spark.catalog.clearCache()
+      // System.gc AFTER the timed window: shuffle FILES are reclaimed
+      // by the ContextCleaner only once the owning exchange RDDs are
+      // garbage-collected, and a barely-pressured 64g bench heap can go
+      // a whole run without a collection — files then accumulate across
+      // a rep's legs until DISK, not any single query, is the limit
+      // (r15: the sf50x bucketed-verify rep died ENOSPC under ~60 GB of
+      // prior legs' shuffle files; one leg's own peak fits with margin).
+      // All LegBench-family mains carry the same hygiene line.
+      System.gc()
     }
 
     val recall = recallDir.map { dir =>

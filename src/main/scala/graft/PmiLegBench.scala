@@ -52,6 +52,7 @@ object PmiLegBench {
       times(dir) = times(dir) :+ secs
       println(f"""{"pmi_leg_rep":$rep,"dir":"$dir","top_v":$topV,"rows":$n,"secs":$secs%.3f}""")
       spark.catalog.clearCache()
+      System.gc() // see PairLegBench scaladoc: frees shuffle files via ContextCleaner
     }
 
     def med(xs: Vector[Double]) = BenchStats.median(xs)

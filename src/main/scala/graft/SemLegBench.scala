@@ -99,6 +99,7 @@ object SemLegBench {
         println(f"""{"sem_leg_rep":$rep,"dir":"$dir","n":$n,"k":$k,"k_trained":$kTrained,"dup_pairs":$nPairs,"fit_secs":$tFit%.3f,"assign_flat_secs":$tFlat%.3f,"assign_twolevel_secs":${tTwo.map(t => f"$t%.3f").getOrElse("null")},"fit_assign_secs":$tFitAssign%.3f,"pairs_secs":$tPairs%.3f}""")
       }
       spark.catalog.clearCache()
+      System.gc() // see PairLegBench scaladoc: frees shuffle files via ContextCleaner
     }
 
     val keys = for (d <- dirs; c <- comps; if times.contains((d, c)))
