@@ -42,11 +42,25 @@ object Dedup {
     * materializes the full intersection array per CANDIDATE PAIR —
     * the verify stage's dominant CPU after the joins (pair budget ×
     * corpus size evaluations at 100 TB vs one sort per document
-    * here). */
-  private def docHashSets(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(xxhash64(col("s")))).as("hs"),
+    * here). Input is the HASHED posting frame of [[hashedPostings]]. */
+  private def docHashSets(hp: DataFrame): DataFrame =
+    hp.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("n"))
+
+  /** (doc_id, h) postings: each shingle replaced by its 64-bit
+    * xxhash64 fingerprint — the SHIPPING format of the pair family's
+    * heavy stages. A posting row shrinks from ~50 B (3-gram string) to
+    * 16 B, so every df groupBy, posting self-join, and verify shuffle
+    * moves 3–4× fewer bytes; at 2.5M docs (130M postings) the string
+    * form's in-flight shuffle files exceeded local disk where the
+    * hashed form fits with margin (PERF.md round 15). Equality on h is
+    * equality on s up to a 64-bit collision — the SAME bound the
+    * verify stage has always accepted ([[docHashSets]]); a collision
+    * can merge two shingles' df counts or admit one spurious candidate
+    * (which verify then rejects), deterministically. */
+  private def hashedPostings(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
 
   /** The verify stage's intersection size |ha ∩ hb| over the sorted
     * hash arrays of [[docHashSets]] (codegen'd merge count). */
@@ -56,9 +70,10 @@ object Dedup {
   }
 
   /** [[docHashSets]] exposed for the stage-attribution probe
-    * (`graft.PairStageProbe`) — diagnostics only, not an operator. */
+    * (`graft.PairStageProbe`) — diagnostics only, not an operator.
+    * Takes the string-shingle frame and hashes internally. */
   private[graft] def docHashSetsProbe(sh: DataFrame): DataFrame =
-    docHashSets(sh)
+    docHashSets(hashedPostings(sh))
 
   /** Verify-side broadcast budget: the hash-set frame broadcasts when
     * its estimated build size (~48 B/row + 8 B/posting) fits. 1.5 GB
@@ -95,12 +110,12 @@ object Dedup {
     * output partitioning of the downstream `doc_id as da/db` renames
     * carries the bucket layout into both verify joins, so only the
     * (smaller-rowed) candidate side ever shuffles. */
-  private def verifyHashSets(sh: DataFrame): DataFrame = {
-    val hs = graft.CacheScope.persist(docHashSets(sh))
+  private def verifyHashSets(hp: DataFrame): DataFrame = {
+    val hs = graft.CacheScope.persist(docHashSets(hp))
     val r = hs.agg(count(lit(1)).as("rows"),
       coalesce(sum(col("n")), lit(0L)).as("postings")).head()
     val est = r.getLong(0) * 48L + r.getLong(1) * 8L
-    if (est <= broadcastVerifyBytes(sh)) broadcast(hs)
+    if (est <= broadcastVerifyBytes(hp)) broadcast(hs)
     // shuffle_hash, not sort-merge, against the bucketed stage: SMJ
     // needs BOTH sides ordered, so while the staged side read its
     // bucket-local sort for free, the PROBE sides paid external sorts —
@@ -114,7 +129,7 @@ object Dedup {
     // ordering machinery, at any corpus size (plan-asserted in
     // Round15Spec).
     else graft.sources.Bucketing.stageBucketed(hs, "vhs",
-        sh.sparkSession.sessionState.conf.numShufflePartitions, Seq("doc_id"))
+        hp.sparkSession.sessionState.conf.numShufflePartitions, Seq("doc_id"))
       .hint("shuffle_hash")
   }
 
@@ -276,9 +291,13 @@ object Dedup {
     * emit the identical pair set. */
   def jaccardPairs(sh0: DataFrame, dfCap: Int, threshold: Double,
       directPairBudget: Long = 32000000L): DataFrame = {
-    val sh = graft.CacheScope.persist(sh0)
+    // hashed postings, one shuffle by h reused by the df groupBy and
+    // every posting join below — see [[hashedPostings]] and the
+    // containmentPairsCapped scaladoc for the byte arithmetic
+    val hp = graft.CacheScope.persist(
+      hashedPostings(sh0).repartition(col("h")))
     val dfreq = graft.CacheScope.persist(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
+      hp.groupBy(col("h")).agg(count(lit(1)).as("df")))
     // ADAPTIVE DISPATCH on the exact inverted-index pair mass
     // Σ C(df, 2) from the df histogram. Fenced driver-side scalar: a
     // one-row aggregate over dfreq (never row data) — the same
@@ -299,10 +318,10 @@ object Dedup {
       // shingles per pair AND remembers whether any shared shingle is
       // rare — same output contract as the rare-postings path: pairs
       // sharing ≥ 1 rare shingle, n_common / Jaccard over FULL sets
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.join(dfreq, "s").alias("a")
-      val pairStats = a.join(sh.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      val sizes = hp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = hp.join(dfreq, "h").alias("a")
+      val pairStats = a.join(hp.alias("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           when(col("a.df") <= dfCap, 1).otherwise(0).as("rare"))
         .groupBy(col("da"), col("db"))
@@ -316,18 +335,18 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("da", "db", "n_common", "jaccard")
     } else {
-      val rare = sh.join(dfreq.filter(col("df") <= dfCap).select(col("s")), "s")
+      val rare = hp.join(dfreq.filter(col("df") <= dfCap).select(col("h")), "h")
       val cands = rare.alias("a").join(rare.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val hsets = verifyHashSets(sh)
+      val hsets = verifyHashSets(hp)
       cands
         .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
           col("n").as("na")), Seq("da"))
         .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
           col("n").as("nb")), Seq("db"))
-        .withColumn("n_common", nCommon(sh))
+        .withColumn("n_common", nCommon(hp))
         .withColumn("jaccard",
           col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
         .filter(col("jaccard") >= threshold)
@@ -407,9 +426,16 @@ object Dedup {
     }
     // length-ratio pruning (exactness-preserving): Jaccard ≥ t forces
     // t·max(na,nb) ≤ min(na,nb), so size-mismatched candidates are cut
-    // BEFORE the verification joins touch the full shingle sets
-    val cands = prefix.alias("pa").join(prefix.alias("pb"),
-        col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
+    // BEFORE the verification joins touch the full shingle sets.
+    // The self-join runs on 64-bit fingerprints, not strings: the
+    // prefix SELECTION above keeps the oracle-mirrored (df, s) string
+    // tie-break, but once the postings are chosen, equality on
+    // xxhash64(s) is equality on s up to the collision bound
+    // [[hashedPostings]] states — and the join's shuffle rows drop
+    // from ~50 B to 16 B (PERF.md round 15)
+    val prefH = prefix.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val cands = prefH.alias("pa").join(prefH.alias("pb"),
+        col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id"))
       .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"))
       .distinct()
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -417,7 +443,7 @@ object Dedup {
       .filter(least(col("na"), col("nb")) >=
         ceil(lit(threshold) * greatest(col("na"), col("nb"))))
     // exact verification on surviving candidates only, |cands| rows
-    val hsets = verifyHashSets(sh)
+    val hsets = verifyHashSets(hashedPostings(sh))
     cands
       .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
       .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
@@ -468,7 +494,7 @@ object Dedup {
       .select(least(col("pa.doc_id"), col("fb.doc_id")).as("da"),
         greatest(col("pa.doc_id"), col("fb.doc_id")).as("db"))
       .distinct()
-    val hsets = verifyHashSets(sh)
+    val hsets = verifyHashSets(hashedPostings(sh))
     cands
       .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
         col("n").as("na")), Seq("da"))
@@ -523,10 +549,21 @@ object Dedup {
       dfQuantile: Double = 0.99, minCap: Long = 10L,
       pairBudgetPerDoc: Long = 128L, withSizes: Boolean = false): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val sh = graft.CacheScope.persist(sh0)
+    // HASHED postings, shuffled by h exactly ONCE: the cached
+    // repartition's HashPartitioning satisfies the df groupBy and BOTH
+    // sides of the candidate self-join (InMemoryRelation preserves the
+    // cached plan's partitioning), so the corpus-sized frame crosses
+    // the network once as 16 B rows instead of three times as ~50 B
+    // string rows — at 2.5M docs the difference between in-flight
+    // shuffle files that exceed local disk and ones that fit with
+    // margin (PERF.md round 15). df/candidates on h equal df/candidates
+    // on s up to the 64-bit collision bound [[hashedPostings]] states;
+    // the string shingles are never cached or shuffled at all.
+    val hp = graft.CacheScope.persist(
+      hashedPostings(sh0).repartition(col("h")))
     val dfreq = graft.CacheScope.persist(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
-    val nd = sh.agg(countDistinct(col("doc_id")).as("ndocs"))
+      hp.groupBy(col("h")).agg(count(lit(1)).as("df")))
+    val nd = hp.agg(countDistinct(col("doc_id")).as("ndocs"))
     val cap = dfreq.groupBy(col("df")).agg(count(lit(1)).as("c"))
       .withColumn("cc", sum(col("c")).over(W.orderBy(col("df"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)))
@@ -543,19 +580,19 @@ object Dedup {
           col("df"))).as("mcap"))
       .select(greatest(lit(minCap),
         least(col("qcap"), coalesce(col("mcap"), lit(minCap)))).as("cap"))
-    val a = sh.join(dfreq, "s").crossJoin(broadcast(cap))
+    val a = hp.join(dfreq, "h").crossJoin(broadcast(cap))
       .filter(col("df") <= col("cap")).alias("a")
-    val cands = a.join(sh.alias("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val cands = a.join(hp.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val hsets = verifyHashSets(sh)
+    val hsets = verifyHashSets(hp)
     cands
       .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
         col("n").as("na")), Seq("da"))
       .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
         col("n").as("nb")), Seq("db"))
-      .withColumn("n_common", nCommon(sh))
+      .withColumn("n_common", nCommon(hp))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
