@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   * ~2x; heap +56% and 5x shuffle partitions moved it < 10%, so the
   * residual needed per-stage numbers, not more guesses).
   *
-  * Stages: (1) shingle + persist; (2) df + histogram cap; (3) capped
-  * candidate self-join (distinct count); (4) hash-set build; (5) the
-  * verify join (intersection + threshold). Usage:
-  * `runMain graft.PairStageProbe <dir> [budget]`.
+  * Round 15: mirrors the HASHED dataflow (postings ship as xxhash64
+  * fingerprints, one repartition by h reused downstream) and times
+  * BOTH verify dispatches — the broadcast form and the
+  * bucketed-stage + shuffled-hash form the beyond-fence fallback
+  * runs — so the dispatch gap itself is a measured number.
+  *
+  * Stages: (1) hashed postings + persist; (2) df + histogram cap;
+  * (3) capped candidate self-join (distinct count); (4) hash-set
+  * build; (5) verify via bucketed SHJ; (6) verify via broadcast.
+  * Usage: `runMain graft.PairStageProbe <dir> [budget]`.
   */
 object PairStageProbe {
   def main(args: Array[String]): Unit = {
@@ -29,13 +35,17 @@ object PairStageProbe {
     }
     CacheScope.scoped {
       val docs = sources.Tables.load(spark, dir, "documents")
-      val sh = CacheScope.persist(text.Dedup.shingles(docs))
-      t("shingles_persist") { sh.count() }
+      // mirrors Dedup.hashedPostings + the production repartition-once
+      val hp = CacheScope.persist(
+        text.Dedup.shingles(docs)
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
+          .repartition(col("h")))
+      t("hashed_postings_persist") { hp.count() }
       val dfreq = CacheScope.persist(
-        sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
+        hp.groupBy(col("h")).agg(count(lit(1)).as("df")))
       t("dfreq") { dfreq.count() }
       val W = org.apache.spark.sql.expressions.Window
-      val nd = sh.agg(countDistinct(col("doc_id")).as("ndocs"))
+      val nd = hp.agg(countDistinct(col("doc_id")).as("ndocs"))
       val cap = dfreq.groupBy(col("df")).agg(count(lit(1)).as("c"))
         .withColumn("cc", sum(col("c")).over(W.orderBy(col("df"))
           .rowsBetween(W.unboundedPreceding, W.currentRow)))
@@ -53,45 +63,42 @@ object PairStageProbe {
         .select(greatest(lit(10L),
           least(col("qcap"), coalesce(col("mcap"), lit(10L)))).as("cap"))
       t("cap_scalar") { cap.count() }
-      val a = sh.join(dfreq, "s").crossJoin(broadcast(cap))
+      val a = hp.join(dfreq, "h").crossJoin(broadcast(cap))
         .filter(col("df") <= col("cap")).alias("a")
       val cands = CacheScope.persist(
-        a.join(sh.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        a.join(hp.alias("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct())
       val nCands = t("candidates_distinct") { cands.count() }
       println(s"""{"probe_info":"n_candidates","dir":"$dir","value":$nCands}""")
-      val hsets = CacheScope.persist(text.Dedup.docHashSetsProbe(sh))
+      // mirrors Dedup.docHashSets over the hashed postings
+      val hsets = CacheScope.persist(
+        hp.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("h"))).as("hs"),
+            count(lit(1)).as("n")))
       t("hashsets_persist") { hsets.count() }
-      val n = t("verify") {
+      graft.functions.SetExpressions.register(spark)
+      def verifyWith(hs: org.apache.spark.sql.DataFrame): Long =
         cands
-          .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
+          .join(hs.select(col("doc_id").as("da"), col("hs").as("ha"),
             col("n").as("na")), Seq("da"))
-          .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
+          .join(hs.select(col("doc_id").as("db"), col("hs").as("hb"),
             col("n").as("nb")), Seq("db"))
-          .withColumn("n_common",
-            size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .withColumn("n_common", expr("intersect_count_i64(ha, hb)"))
           .filter(col("n_common").cast("double") /
             least(col("na"), col("nb")) >= 0.5)
           .count()
+      // the beyond-fence dispatch: bucketed stage + shuffled-hash joins
+      // (the stage write is INSIDE the timed window, as in production)
+      val n = t("verify_bucketed_shj") {
+        verifyWith(graft.sources.Bucketing.stageBucketed(hsets, "probe_vhs",
+          spark.sessionState.conf.numShufflePartitions, Seq("doc_id"))
+          .hint("shuffle_hash"))
       }
       println(s"""{"probe_info":"n_pairs","dir":"$dir","value":$n}""")
-      // broadcast variant: the hash-set frame is one bounded row per doc
-      // — broadcasting it makes BOTH verify joins map-only BHJs, so the
-      // wide candidate intermediate is never sorted or shuffled at all
-      val n2 = t("verify_broadcast") {
-        cands
-          .join(broadcast(hsets.select(col("doc_id").as("da"),
-            col("hs").as("ha"), col("n").as("na"))), Seq("da"))
-          .join(broadcast(hsets.select(col("doc_id").as("db"),
-            col("hs").as("hb"), col("n").as("nb"))), Seq("db"))
-          .withColumn("n_common",
-            size(array_intersect(col("ha"), col("hb"))).cast("long"))
-          .filter(col("n_common").cast("double") /
-            least(col("na"), col("nb")) >= 0.5)
-          .count()
-      }
+      // the below-fence dispatch: both verify joins map-only BHJs
+      val n2 = t("verify_broadcast") { verifyWith(broadcast(hsets)) }
       println(s"""{"probe_info":"n_pairs_broadcast","dir":"$dir","value":$n2}""")
     }
     spark.stop()
