@@ -312,11 +312,15 @@ class PlanSpec extends SparkSuite {
   private def assertPairShape(p: String): Unit = {
     assert(p.contains("intersect_count_i64"),
       "verification must be the in-row hashed-set intersection\n" + p.take(1500))
-    // candidate generation is an equi join on the shingle column `s`
-    assert("Join [^\\n]*\\[s#".r.findFirstIn(p).isDefined ||
-      "HashJoin [^\\n]*\\[s#".r.findFirstIn(p).isDefined ||
-      p.contains("hashpartitioning(s#"),
-      "candidate join must be keyed on the shingle\n" + p.take(1500))
+    // candidate generation is an equi join keyed on the shingle — as
+    // the string column `s` (prefix family: selection order is
+    // oracle-mirrored on strings) or its 64-bit fingerprint `h`
+    // (round 15: the fully-hashed operators never shuffle strings)
+    assert("Join [^\\n]*\\[[sh]#".r.findFirstIn(p).isDefined ||
+      "HashJoin [^\\n]*\\[[sh]#".r.findFirstIn(p).isDefined ||
+      p.contains("hashpartitioning(s#") || p.contains("hashpartitioning(h#"),
+      "candidate join must be keyed on the shingle or its fingerprint\n" +
+        p.take(1500))
   }
 
   test("rare-postings jaccard: equi candidate join on s, in-row hashed-set verify") {
