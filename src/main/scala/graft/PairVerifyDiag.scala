@@ -9,7 +9,9 @@ package graft
 object PairVerifyDiag {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "target/sf10x_docs"
-    val logDir = "/root/repo/target/eventlog"
+    // relative to the working copy (the close scripts run benches from
+    // cloned camps — an absolute path would silently write outside them)
+    val logDir = new java.io.File("target/eventlog").getAbsolutePath
     new java.io.File(logDir).mkdirs()
     val spark = GraftSession.builder(s"local[${GraftSession.envCpus}]",
         GraftSession.envCpus)

@@ -56,9 +56,14 @@ object Dedup {
     * form's in-flight shuffle files exceeded local disk where the
     * hashed form fits with margin (PERF.md round 15). Equality on h is
     * equality on s up to a 64-bit collision — the SAME bound the
-    * verify stage has always accepted ([[docHashSets]]); a collision
-    * can merge two shingles' df counts or admit one spurious candidate
-    * (which verify then rejects), deterministically. */
+    * verify stage has always accepted ([[docHashSets]]). A collision
+    * can merge two shingles' df counts, admit one spurious candidate
+    * (which the verify stage's exact-set intersection then rejects),
+    * or — on [[jaccardPairs]]' direct small-corpus path, whose
+    * n_common comes straight from the h-equality self-join with no
+    * downstream verify — inflate one pair's n_common/jaccard or admit
+    * one spurious pair. All three are bounded by the same n²/2⁶⁴ term
+    * (~10⁻⁷ at a billion postings), deterministically. */
   private def hashedPostings(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
 
@@ -68,12 +73,6 @@ object Dedup {
     graft.functions.SetExpressions.register(sh.sparkSession)
     expr("intersect_count_i64(ha, hb)")
   }
-
-  /** [[docHashSets]] exposed for the stage-attribution probe
-    * (`graft.PairStageProbe`) — diagnostics only, not an operator.
-    * Takes the string-shingle frame and hashes internally. */
-  private[graft] def docHashSetsProbe(sh: DataFrame): DataFrame =
-    docHashSets(hashedPostings(sh))
 
   /** Verify-side broadcast budget: the hash-set frame broadcasts when
     * its estimated build size (~48 B/row + 8 B/posting) fits. 1.5 GB
@@ -317,7 +316,11 @@ object Dedup {
       // small-corpus path: one inverted-index self-join counts shared
       // shingles per pair AND remembers whether any shared shingle is
       // rare — same output contract as the rare-postings path: pairs
-      // sharing ≥ 1 rare shingle, n_common / Jaccard over FULL sets
+      // sharing ≥ 1 rare shingle, n_common / Jaccard over FULL sets.
+      // n_common here comes straight from h-equality with NO downstream
+      // verify stage, so it is exact only up to the 64-bit collision
+      // bound [[hashedPostings]] states (n²/2⁶⁴ — the bound the verify
+      // family accepts everywhere)
       val sizes = hp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = hp.join(dfreq, "h").alias("a")
       val pairStats = a.join(hp.alias("b"),
