@@ -59,7 +59,7 @@ object CacheScope {
   /** Register a cleanup with the innermost scope — the non-cache twin of
     * [[persist]], for resources a library operator stages on disk whose
     * lifetime must match the scope (the bucketed verify tables in
-    * `Dedup.verifyHashSets` drop their catalog entry and staged files
+    * `Dedup.verifiedCommon` drop their catalog entry and staged files
     * this way). With no scope active the cleanup is NOT run — the staged
     * resource lives for the session and the embedding process manages
     * it, mirroring `persist`'s no-scope contract. Cleanups run AFTER the

@@ -45,7 +45,7 @@ object GraftSession {
       // 500k docs). 3min bounds that backlog; the forced GC itself is a
       // few ms on an idle-tenured heap.
       .config("spark.cleaner.periodicGC.interval", "3min")
-      // The adaptive broadcast dispatches (Dedup.verifyHashSets' 1.5 GB
+      // The adaptive broadcast dispatches (Dedup.verifiedCommon's 1.5 GB
       // budget, the salted-join builds) estimate build sizes up to
       // 1.5 GB; Spark's default driver.maxResultSize (1 GiB) sits BELOW
       // that, so an explicit broadcast hint whose collect lands in the
@@ -82,7 +82,19 @@ object GraftSession {
           s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be > 0, got $n")
         n
       }.getOrElse(cpus)
-    val s = builder(s"local[$cpus]", parts).getOrCreate()
+    // Event-log knob (measurement harness): per-stage wall/shuffle/spill
+    // attribution — tools/eventlog_stages.py reads the log back. Only
+    // effective when THIS call creates the session (builder-time conf);
+    // cwd-relative so cloned camps keep their logs inside themselves.
+    val b0 = builder(s"local[$cpus]", parts)
+    val b = sys.env.get("SPARK_GRAFT_EVENTLOG_DIR").map(_.trim)
+      .filter(_.nonEmpty).fold(b0) { d =>
+        val abs = new java.io.File(d).getAbsoluteFile
+        abs.mkdirs()
+        b0.config("spark.eventLog.enabled", "true")
+          .config("spark.eventLog.dir", abs.getPath)
+      }
+    val s = b.getOrCreate()
     // Streaming state-store provider A/B knob (BENCH_STREAM harness):
     // the default HDFS-backed provider keeps every version of state on
     // the executor heap, which is the bottleneck the moment state
@@ -93,7 +105,7 @@ object GraftSession {
     stateProviderFrom(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")).foreach(
       p => s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     // Verify-side dispatch knob (A/B harness): the byte budget under
-    // which Dedup.verifyHashSets broadcasts; 0 forces the bucketed
+    // which Dedup.verifiedCommon broadcasts; 0 forces the bucketed
     // path. Unset/empty/'none'/'off' keep the library default (1.5e9).
     sys.env.get("SPARK_GRAFT_VERIFY_BROADCAST_BYTES")
       .map(_.trim.toLowerCase).filter(v => v.nonEmpty && v != "none" && v != "off")

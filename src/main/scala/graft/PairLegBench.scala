@@ -63,11 +63,16 @@ object PairLegBench {
     val times = scala.collection.mutable.Map.empty[(String, String), Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (rep <- 1 to reps; dir <- dirs; (leg, fn) <- legs) {
+      // wall-clock epoch bounds let tools/attr_reps.py slice the Spark
+      // event log per (rep, dir, leg) for dataflow-vs-environment
+      // variance attribution (round 16)
+      val e0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val n = fn(dir)
       val secs = (System.nanoTime() - t0) / 1e9
+      val e1 = System.currentTimeMillis()
       times((dir, leg)) = times((dir, leg)) :+ secs
-      println(f"""{"pair_leg_rep":$rep,"dir":"$dir","leg":"$leg","budget":$budget,"rows":$n,"secs":$secs%.3f}""")
+      println(f"""{"pair_leg_rep":$rep,"dir":"$dir","leg":"$leg","budget":$budget,"rows":$n,"secs":$secs%.3f,"t0_ms":$e0,"t1_ms":$e1}""")
       spark.catalog.clearCache()
       // System.gc AFTER the timed window: shuffle FILES are reclaimed
       // by the ContextCleaner only once the owning exchange RDDs are

@@ -89,12 +89,36 @@ object PairStageProbe {
           .filter(col("n_common").cast("double") /
             least(col("na"), col("nb")) >= 0.5)
           .count()
-      // the beyond-fence dispatch: bucketed stage + shuffled-hash joins
-      // (the stage write is INSIDE the timed window, as in production)
+      // the beyond-fence dispatch, mirroring Dedup.verifiedCommon's
+      // round-16 two-phase form: ONE staged table with the 64-bit
+      // arrays, their 32-bit truncations and n; a 32-bit SCREEN over
+      // the wide candidate joins; a 64-bit CONFIRM on survivors.
+      // The stage write is INSIDE the timed window, as in production.
       val n = t("verify_bucketed_shj") {
-        verifyWith(graft.sources.Bucketing.stageBucketed(hsets, "probe_vhs",
-          spark.sessionState.conf.numShufflePartitions, Seq("doc_id"))
-          .hint("shuffle_hash"))
+        val staged = graft.sources.Bucketing.stageBucketed(
+            hsets.withColumn("hs32",
+              expr("transform(hs, x -> cast(shiftright(x, 32) as int))")),
+            "probe_vhs",
+            spark.sessionState.conf.numShufflePartitions, Seq("doc_id"))
+          .hint("shuffle_hash")
+        val screened = cands
+          .join(staged.select(col("doc_id").as("da"), col("hs32").as("ha32"),
+            col("n").as("na")), Seq("da"))
+          .join(staged.select(col("doc_id").as("db"), col("hs32").as("hb32"),
+            col("n").as("nb")), Seq("db"))
+          .withColumn("c32", expr("intersect_count_i32(ha32, hb32)"))
+          .filter(col("c32").cast("double") /
+            least(col("na"), col("nb")) >= 0.5)
+          .select(col("da"), col("db"), col("na"), col("nb"))
+        screened
+          .join(staged.select(col("doc_id").as("da"), col("hs").as("ha")),
+            Seq("da"))
+          .join(staged.select(col("doc_id").as("db"), col("hs").as("hb")),
+            Seq("db"))
+          .withColumn("n_common", expr("intersect_count_i64(ha, hb)"))
+          .filter(col("n_common").cast("double") /
+            least(col("na"), col("nb")) >= 0.5)
+          .count()
       }
       println(s"""{"probe_info":"n_pairs","dir":"$dir","value":$n}""")
       // the below-fence dispatch: both verify joins map-only BHJs

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression for the pair family's verify hot path:
   * |A ∩ B| over two SORTED `array<bigint>` columns by a linear merge
@@ -94,11 +94,93 @@ case class SortedIntersectCountI64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 32-bit sibling of [[SortedIntersectCountI64]] for the two-phase
+  * verify SCREEN (round 16): a multiset intersection count over two
+  * SORTED `array<int>` columns by the same allocation-free merge walk.
+  *
+  * Inputs are the 32-bit truncations (`shiftright(h, 32)` of the
+  * sorted 64-bit arrays — order-preserving, so no re-sort) and may
+  * contain DUPLICATES where two 64-bit hashes share high bits; the
+  * merge walk counts min-multiplicity per value, which is ≥ the true
+  * 64-bit intersection size (each common 64-bit element contributes a
+  * matching 32-bit value on both sides). The screen therefore passes a
+  * SUPERSET of the true qualifying pairs — the 64-bit confirm pass
+  * computes the exact count on survivors only — while the wide
+  * candidate×array intermediate ships half the bytes.
+  */
+case class SortedIntersectCountI32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_i32"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<int>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val xv = x.getInt(i)
+      val yv = y.getInt(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  int $xv = $a.getInt($i);
+         |  int $yv = $b.getInt($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetExpressions {
-  /** Register `intersect_count_i64` for SQL + Column use in this
-    * session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `intersect_count_i64` / `intersect_count_i32` for SQL +
+    * Column use in this session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intersect_count_i64",
       exprs => SortedIntersectCountI64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_count_i32",
+      exprs => SortedIntersectCountI32(exprs(0), exprs(1)), "built-in")
+  }
 }

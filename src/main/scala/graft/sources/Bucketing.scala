@@ -60,7 +60,11 @@ object Bucketing {
     val safeTag = tag.replaceAll("[^A-Za-z0-9_]", "_")
     val id = s"${safeTag}_p${ProcessHandle.current().pid()}_${stageSeq.incrementAndGet()}"
     val table = s"graft_stage_$id"
-    val path = s"/root/repo/target/stage/bucketed/$id"
+    // cwd-relative (resolved absolute): the close scripts run benches
+    // from cloned camps — an absolute repo path would silently stage
+    // outside them (the same hazard r15's ADVICE flagged for
+    // PairVerifyDiag's event-log dir)
+    val path = new java.io.File(s"target/stage/bucketed/$id").getAbsolutePath
     df.repartition(buckets, keys.map(col): _*)
       .write.mode("overwrite")
       .option("path", path)

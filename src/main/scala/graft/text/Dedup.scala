@@ -67,13 +67,6 @@ object Dedup {
   private def hashedPostings(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
 
-  /** The verify stage's intersection size |ha ∩ hb| over the sorted
-    * hash arrays of [[docHashSets]] (codegen'd merge count). */
-  private def nCommon(sh: DataFrame): Column = {
-    graft.functions.SetExpressions.register(sh.sparkSession)
-    expr("intersect_count_i64(ha, hb)")
-  }
-
   /** Verify-side broadcast budget: the hash-set frame broadcasts when
     * its estimated build size (~48 B/row + 8 B/posting) fits. 1.5 GB
     * clears a 5M-doc corpus shard and stays far under Spark's 8 GB
@@ -93,44 +86,111 @@ object Dedup {
   private def broadcastVerifyBytes(sh: DataFrame): Double =
     sh.sparkSession.conf.get(VerifyBroadcastBytesKey, "1.5e9").toDouble
 
-  /** The verify stage's hash-set side, ADAPTIVELY broadcast. The frame
-    * is one bounded row per document, and the verify joins consume it
-    * on both ends of every candidate pair: broadcast makes BOTH joins
-    * map-only hash joins, so the wide (da, db, set) intermediate is
-    * never sorted or shuffled. Measured (round 12, PairStageProbe): at
-    * 1M docs the sort-merge form's external sort writes ~36 GB of
-    * spill and pins the verify stage at the box's write bandwidth —
-    * 137 s vs 85 s broadcast; at 500k docs 19 s vs 10 s; outputs
-    * hash-identical. The size estimate is a fenced driver scalar (one
-    * aggregate over the persisted per-doc frame — counts, never row
-    * data), the same dispatch pattern as [[jaccardPairs]]' pair-mass
-    * budget. Above the broadcast budget the frame routes through the
-    * bucketed sink (see [[broadcastVerifyBytes]]); the alias-aware
-    * output partitioning of the downstream `doc_id as da/db` renames
-    * carries the bucket layout into both verify joins, so only the
-    * (smaller-rowed) candidate side ever shuffles. */
-  private def verifyHashSets(hp: DataFrame): DataFrame = {
+  /** The pair family's verify stage: exact per-pair intersection sizes
+    * for (da, db) candidates — `(da, db, na, nb, n_common)` with
+    * n_common the 64-bit-exact |set(da) ∩ set(db)| and na/nb the exact
+    * set sizes — dispatched ADAPTIVELY on the hash-set frame's size.
+    *
+    * BELOW the broadcast budget the per-doc frame broadcasts and both
+    * verify joins are map-only hash joins, so the wide (da, db, set)
+    * intermediate is never sorted or shuffled. Measured (round 12,
+    * PairStageProbe): at 1M docs the sort-merge form's external sort
+    * writes ~36 GB of spill and pins the verify stage at the box's
+    * write bandwidth — 137 s vs 85 s broadcast; at 500k docs 19 s vs
+    * 10 s; outputs hash-identical. The size estimate is a fenced driver
+    * scalar (one aggregate over the persisted per-doc frame — counts,
+    * never row data), the same dispatch pattern as [[jaccardPairs]]'
+    * pair-mass budget.
+    *
+    * ABOVE the budget the frame routes through the bucketed sink
+    * ([[graft.sources.Bucketing.stageBucketed]]) and the verify runs
+    * TWO-PHASE (round 16):
+    *
+    *  - Phase 1 (screen): the candidate joins consume the 32-bit
+    *    truncations of the sorted hash arrays (`shiftright(h, 32)` —
+    *    order-preserving, so the truncated array is sorted for free)
+    *    and `screen` filters on the merge-count over them, which is an
+    *    OVERCOUNT-or-equal of the true intersection (see
+    *    [[graft.functions.SortedIntersectCountI32]]) — with a monotone
+    *    score predicate the screen passes a superset of the true
+    *    qualifying pairs. The wide candidate×array intermediate — the
+    *    stage's dominant shuffle, 20 GB at 500k docs / budget 16
+    *    (round 15 event logs), the sf50x single-box ENOSPC risk —
+    *    ships 4 B/element instead of 8 B.
+    *  - Phase 2 (confirm): survivors (true pairs + the collision
+    *    sliver) re-join the staged 64-bit arrays for the EXACT
+    *    n_common. Output is bit-identical to the single-phase form;
+    *    only candidate-side bytes in flight change.
+    *
+    * Both phases read ONE staged table holding hs (64-bit), hs32 and n:
+    * parquet column pruning means phase 1 never reads the 64-bit
+    * column and phase 2 never reads the 32-bit one, and all four joins
+    * are SHUFFLED-HASH joins building on the bucket layout — no
+    * exchange on any build chain, no sort anywhere (SMJ would sort the
+    * probe, and phase 1 join 2's probe IS the wide intermediate:
+    * 370 s vs 30 s broadcast at 500k docs, ~60 GB transient spill at
+    * 2.5M when it re-sorted; plan-asserted in Round15/16Spec). No
+    * broadcast memory ceiling, executor-count-parallel at any corpus
+    * size.
+    *
+    * `screen(c, na, nb)` must be a predicate MONOTONE NON-DECREASING in
+    * c (true stays true as c grows) that is exactly the caller's final
+    * score filter — callers re-apply it on the exact n_common, so the
+    * screen only prunes, never decides. */
+  private def verifiedCommon(hp: DataFrame, cands: DataFrame,
+      screen: (Column, Column, Column) => Column): DataFrame = {
+    graft.functions.SetExpressions.register(hp.sparkSession)
     val hs = graft.CacheScope.persist(docHashSets(hp))
     val r = hs.agg(count(lit(1)).as("rows"),
       coalesce(sum(col("n")), lit(0L)).as("postings")).head()
     val est = r.getLong(0) * 48L + r.getLong(1) * 8L
-    if (est <= broadcastVerifyBytes(hp)) broadcast(hs)
-    // shuffle_hash, not sort-merge, against the bucketed stage: SMJ
-    // needs BOTH sides ordered, so while the staged side read its
-    // bucket-local sort for free, the PROBE sides paid external sorts —
-    // and join 2's probe is the wide (da, db, hash-array) intermediate,
-    // re-creating the r12 sort-spill on the other side of the join
-    // (measured: 370 s vs 30 s broadcast at 500k docs, ~60 GB transient
-    // spill at 2.5M). A shuffled hash join needs only DISTRIBUTION:
-    // the staged side's bucket layout still satisfies it with no
-    // exchange, the build is one bounded bucket's rows per task, and
-    // the probe sides hash-shuffle WITHOUT sorting — no wide sort, no
-    // ordering machinery, at any corpus size (plan-asserted in
-    // Round15Spec).
-    else graft.sources.Bucketing.stageBucketed(hs, "vhs",
-        hp.sparkSession.sessionState.conf.numShufflePartitions, Seq("doc_id"))
-      .hint("shuffle_hash")
+    if (est <= broadcastVerifyBytes(hp)) {
+      val b = broadcast(hs)
+      cands
+        .join(b.select(col("doc_id").as("da"), col("hs").as("ha"),
+          col("n").as("na")), Seq("da"))
+        .join(b.select(col("doc_id").as("db"), col("hs").as("hb"),
+          col("n").as("nb")), Seq("db"))
+        .withColumn("n_common", expr("intersect_count_i64(ha, hb)"))
+        .select(col("da"), col("db"), col("na"), col("nb"), col("n_common"))
+    } else {
+      val staged = graft.sources.Bucketing.stageBucketed(
+          hs.withColumn("hs32",
+            expr("transform(hs, x -> cast(shiftright(x, 32) as int))")),
+          "vhs",
+          hp.sparkSession.sessionState.conf.numShufflePartitions,
+          Seq("doc_id"))
+        .hint("shuffle_hash")
+      val screened = cands
+        .join(staged.select(col("doc_id").as("da"), col("hs32").as("ha32"),
+          col("n").as("na")), Seq("da"))
+        .join(staged.select(col("doc_id").as("db"), col("hs32").as("hb32"),
+          col("n").as("nb")), Seq("db"))
+        .withColumn("c32", expr("intersect_count_i32(ha32, hb32)"))
+        .filter(screen(col("c32"), col("na"), col("nb")))
+        .select(col("da"), col("db"), col("na"), col("nb"))
+      screened
+        .join(staged.select(col("doc_id").as("da"), col("hs").as("ha")),
+          Seq("da"))
+        .join(staged.select(col("doc_id").as("db"), col("hs").as("hb")),
+          Seq("db"))
+        .withColumn("n_common", expr("intersect_count_i64(ha, hb)"))
+        .select(col("da"), col("db"), col("na"), col("nb"), col("n_common"))
+    }
   }
+
+  /** Containment screen/filter: |A∩B| / min(|A|,|B|) ≥ t — monotone in
+    * the count, so it serves as both [[verifiedCommon]]'s screen and
+    * the exact final filter. */
+  private def containmentGate(threshold: Double)(
+      c: Column, na: Column, nb: Column): Column =
+    c.cast("double") / least(na, nb) >= threshold
+
+  /** Jaccard screen/filter: |A∩B| / |A∪B| ≥ t. Monotone in the count
+    * (both numerator up and denominator down as c grows). */
+  private def jaccardGate(threshold: Double)(
+      c: Column, na: Column, nb: Column): Column =
+    c.cast("double") / (na + nb - c) >= threshold
 
   val P: Long = 2147483647L // 2^31-1, Mersenne prime
   /** k=16 universal hash parameter pairs (odd multipliers). */
@@ -343,13 +403,7 @@ object Dedup {
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val hsets = verifyHashSets(hp)
-      cands
-        .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
-          col("n").as("na")), Seq("da"))
-        .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
-          col("n").as("nb")), Seq("db"))
-        .withColumn("n_common", nCommon(hp))
+      verifiedCommon(hp, cands, jaccardGate(threshold))
         .withColumn("jaccard",
           col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
         .filter(col("jaccard") >= threshold)
@@ -446,11 +500,10 @@ object Dedup {
       .filter(least(col("na"), col("nb")) >=
         ceil(lit(threshold) * greatest(col("na"), col("nb"))))
     // exact verification on surviving candidates only, |cands| rows
-    val hsets = verifyHashSets(hashedPostings(sh))
-    cands
-      .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
-      .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
-      .withColumn("n_common", nCommon(sh))
+    // (the helper re-supplies na/nb — identical values to the sizes
+    // frame above: both count the doc's distinct shingles)
+    verifiedCommon(hashedPostings(sh), cands.select(col("da"), col("db")),
+        jaccardGate(threshold))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -497,13 +550,7 @@ object Dedup {
       .select(least(col("pa.doc_id"), col("fb.doc_id")).as("da"),
         greatest(col("pa.doc_id"), col("fb.doc_id")).as("db"))
       .distinct()
-    val hsets = verifyHashSets(hashedPostings(sh))
-    cands
-      .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
-        col("n").as("na")), Seq("da"))
-      .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
-        col("n").as("nb")), Seq("db"))
-      .withColumn("n_common", nCommon(sh))
+    verifiedCommon(hashedPostings(sh), cands, containmentGate(threshold))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
@@ -589,13 +636,7 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val hsets = verifyHashSets(hp)
-    cands
-      .join(hsets.select(col("doc_id").as("da"), col("hs").as("ha"),
-        col("n").as("na")), Seq("da"))
-      .join(hsets.select(col("doc_id").as("db"), col("hs").as("hb"),
-        col("n").as("nb")), Seq("db"))
-      .withColumn("n_common", nCommon(hp))
+    verifiedCommon(hp, cands, containmentGate(threshold))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)

@@ -67,7 +67,7 @@ class Round15Spec extends SparkSuite {
     sides.size
   }
 
-  /** The bucketed-verify join contract (see Dedup.verifyHashSets): each
+  /** The bucketed-verify join contract (see Dedup.verifiedCommon): each
     * join consuming the bucketed hash-set stage must be a SHUFFLED HASH
     * join (not SMJ — SMJ would sort the probe, and join 2's probe is
     * the wide candidate×array intermediate), building on the bucketed
@@ -118,14 +118,16 @@ class Round15Spec extends SparkSuite {
     }
   }
 
-  test("bucketed verify: both hash-set joins are SHJ building on the bucket layout, no exchange/sort on build, no sort on probe") {
+  test("bucketed verify: all hash-set joins are SHJ building on the bucket layout, no exchange/sort on build, no sort on probe") {
     CacheScope.scoped {
       try {
         spark.conf.set(Dedup.VerifyBroadcastBytesKey, "0")
         val plan = staticPlan(
           Dedup.containmentPairsCapped(Dedup.shingles(docs), threshold = 0.5))
-        // both verify joins (da endpoint, db endpoint) consume the stage
-        assert(assertShjBucketBuilds(plan) == 2, plan.toString.take(2000))
+        // round 16: the bucketed dispatch is two-phase — a 32-bit
+        // screen (da + db endpoints) then a 64-bit confirm (da + db),
+        // all four consuming the one staged table
+        assert(assertShjBucketBuilds(plan) == 4, plan.toString.take(2000))
       } finally spark.conf.unset(Dedup.VerifyBroadcastBytesKey)
     }
   }
