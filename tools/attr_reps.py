@@ -10,16 +10,10 @@ one whose task time or spill moves with the wall is DATAFLOW.
 Usage: attr_reps.py <pairlegbench-stdout-log> <eventlog-file-or-dir>
        [--json OUT]
 """
-import sys, json, re, os, glob
+import sys, json, re, os
 
-
-def newest_log(path):
-    if os.path.isfile(path):
-        return path
-    cands = [p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)]
-    if not cands:
-        sys.exit(f"no event logs under {path}")
-    return max(cands, key=os.path.getmtime)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from eventlog_stages import newest_log, event_lines, stage_record
 
 
 def rep_windows(stdout_log):
@@ -37,68 +31,44 @@ def rep_windows(stdout_log):
     return reps
 
 
-def stage_rows(ev_path):
-    rows = {}
-    with open(ev_path, errors="replace") as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            k = ev.get("Event")
-            if k == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = (si["Stage ID"], si["Stage Attempt ID"])
-                r = rows.setdefault(sid, {"task_s": 0.0, "sw": 0, "sr": 0,
-                                          "spill": 0, "input": 0})
-                r["sub"] = si.get("Submission Time")
-                r["comp"] = si.get("Completion Time")
-            elif k == "SparkListenerTaskEnd":
-                sid = (ev["Stage ID"], ev["Stage Attempt ID"])
-                m = ev.get("Task Metrics")
-                if not m:
-                    continue
-                r = rows.setdefault(sid, {"task_s": 0.0, "sw": 0, "sr": 0,
-                                          "spill": 0, "input": 0})
-                r["task_s"] += m.get("Executor Run Time", 0) / 1e3
-                r["sw"] += (m.get("Shuffle Write Metrics") or {}).get(
-                    "Shuffle Bytes Written", 0)
-                srm = m.get("Shuffle Read Metrics") or {}
-                r["sr"] += srm.get("Local Bytes Read", 0) + srm.get(
-                    "Remote Bytes Read", 0)
-                r["spill"] += m.get("Disk Bytes Spilled", 0)
-                r["input"] += (m.get("Input Metrics") or {}).get("Bytes Read", 0)
-    return [r for r in rows.values() if r.get("sub")]
-
-
 def main():
     args = sys.argv[1:]
     out_json = None
     if "--json" in args:
         i = args.index("--json"); out_json = args[i + 1]; del args[i:i + 2]
     reps = rep_windows(args[0])
-    stages = stage_rows(newest_log(args[1]))
+    stages = []
+    for line in event_lines(newest_log(args[1])):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerStageCompleted":
+            s = stage_record(ev["Stage Info"])
+            if s["sub_ms"]:
+                stages.append(s)
     gb = 1 << 30
     out = []
-    print(f"{'rep':>3} {'dir':<28} {'leg':<20} {'wall_s':>8} {'task_s':>9} "
-          f"{'shufW_GB':>9} {'shufR_GB':>9} {'spill_GB':>9} {'in_GB':>7}")
+    print(f"{'rep':>3} {'dir':<16} {'leg':<20} {'wall_s':>8} {'task_s':>9} "
+          f"{'shufW_GB':>9} {'shufR_GB':>9} {'spill_GB':>9} {'in_GB':>7} {'stages':>7}")
     for r in reps:
         w0, w1 = r["t0_ms"], r["t1_ms"]
         # a stage belongs to the rep whose window contains its submission
-        mine = [s for s in stages if w0 <= s["sub"] <= w1]
+        mine = [s for s in stages if w0 <= s["sub_ms"] <= w1]
         row = {"rep": r["pair_leg_rep"], "dir": os.path.basename(r["dir"]),
                "leg": r["leg"], "wall_s": round(r["secs"], 2),
-               "task_s": round(sum(s["task_s"] for s in mine), 1),
-               "shuf_write_gb": round(sum(s["sw"] for s in mine) / gb, 3),
-               "shuf_read_gb": round(sum(s["sr"] for s in mine) / gb, 3),
-               "spill_disk_gb": round(sum(s["spill"] for s in mine) / gb, 3),
-               "input_gb": round(sum(s["input"] for s in mine) / gb, 3),
+               "task_s": round(sum(s["task_time_s"] for s in mine), 1),
+               "shuf_write_gb": round(sum(s["shuf_write_b"] for s in mine) / gb, 3),
+               "shuf_read_gb": round(sum(s["shuf_read_b"] for s in mine) / gb, 3),
+               "spill_disk_gb": round(sum(s["spill_disk_b"] for s in mine) / gb, 3),
+               "input_gb": round(sum(s["input_b"] for s in mine) / gb, 3),
                "n_stages": len(mine)}
         out.append(row)
-        print(f"{row['rep']:>3} {row['dir']:<28} {row['leg']:<20} "
+        print(f"{row['rep']:>3} {row['dir']:<16} {row['leg']:<20} "
               f"{row['wall_s']:>8.1f} {row['task_s']:>9.1f} "
               f"{row['shuf_write_gb']:>9.3f} {row['shuf_read_gb']:>9.3f} "
-              f"{row['spill_disk_gb']:>9.3f} {row['input_gb']:>7.2f}")
+              f"{row['spill_disk_gb']:>9.3f} {row['input_gb']:>7.2f} "
+              f"{row['n_stages']:>7}")
     if out_json:
         json.dump(out, open(out_json, "w"), indent=1)
 

@@ -5,78 +5,93 @@ the verify stage's candidate×array intermediate (r15 verdict #4) and
 (b) separating environmental variance from dataflow per rep on the
 wide-span rungs (r15 verdict #2).
 
+Spark 4 event logs are V2 rolling-log DIRECTORIES
+(eventlog_v2_<appid>/events_N_<appid>[.zstd]) and carry task metrics as
+internal.metrics.* accumulables; per-stage totals are read from each
+SparkListenerStageCompleted's accumulable Values.
+
 Usage: eventlog_stages.py <eventlog-file-or-dir> [--json OUT] [--top N]
 
-With a directory, picks the most recent application log inside it.
+With a plain directory, picks the most recent application log inside.
 Prints a per-stage table (top N by wall) and a totals line; --json dumps
 the full per-stage list for committing into a BENCH_* artifact.
 """
-import sys, json, os, glob
+import sys, json, os, glob, io, subprocess
+
+M = "internal.metrics."
 
 
 def newest_log(path):
-    if os.path.isfile(path):
+    """Resolve to a single-file log or a V2 rolling-log dir."""
+    if os.path.isfile(path) or os.path.basename(path).startswith("eventlog_v2_"):
         return path
-    cands = [p for p in glob.glob(os.path.join(path, "*"))
-             if os.path.isfile(p) and not p.endswith(".inprogress")]
-    cands += [p for p in glob.glob(os.path.join(path, "*.inprogress"))]
+    entries = glob.glob(os.path.join(path, "*"))
+    v2 = [p for p in entries if os.path.isdir(p)
+          and os.path.basename(p).startswith("eventlog_v2_")]
+    files = [p for p in entries if os.path.isfile(p)]
+    cands = v2 + files
     if not cands:
         sys.exit(f"no event logs under {path}")
     return max(cands, key=os.path.getmtime)
 
 
+def event_lines(path):
+    """Yield JSON lines from a log file or a V2 rolling-log dir,
+    decompressing .zstd parts via the zstd CLI."""
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "events_*")),
+                       key=lambda p: int(os.path.basename(p).split("_")[1]))
+    else:
+        parts = [path]
+    import shutil
+    zstd = (shutil.which("zstd")
+            or next((c for c in ("/root/miniconda/bin/zstd",
+                                 "/usr/bin/zstd", "/usr/local/bin/zstd")
+                     if os.path.exists(c)), "zstd"))
+    for p in parts:
+        if p.endswith(".zstd"):
+            proc = subprocess.Popen([zstd, "-dc", p],
+                                    stdout=subprocess.PIPE)
+            f = io.TextIOWrapper(proc.stdout, errors="replace")
+        else:
+            f = open(p, errors="replace")
+        with f:
+            yield from f
+
+
+def stage_record(si):
+    acc = {a["Name"]: a.get("Value", 0) for a in si.get("Accumulables", [])
+           if a.get("Name", "").startswith(M)}
+    sub, comp = si.get("Submission Time"), si.get("Completion Time")
+    return {
+        "stage": si["Stage ID"],
+        "attempt": si["Stage Attempt ID"],
+        "name": si.get("Stage Name", "")[:80],
+        "tasks": si.get("Number of Tasks", 0),
+        "sub_ms": sub,
+        "wall_s": round((comp - sub) / 1e3, 3) if sub and comp else None,
+        "failed": si.get("Failure Reason") is not None,
+        "task_time_s": round(acc.get(M + "executorRunTime", 0) / 1e3, 1),
+        "shuf_write_b": acc.get(M + "shuffle.write.bytesWritten", 0),
+        "shuf_read_b": acc.get(M + "shuffle.read.localBytesRead", 0)
+                       + acc.get(M + "shuffle.read.remoteBytesRead", 0),
+        "spill_mem_b": acc.get(M + "memoryBytesSpilled", 0),
+        "spill_disk_b": acc.get(M + "diskBytesSpilled", 0),
+        "input_b": acc.get(M + "input.bytesRead", 0),
+        "output_b": acc.get(M + "output.bytesWritten", 0),
+    }
+
+
 def parse(path):
-    stages = {}
-    with open(path, errors="replace") as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            k = ev.get("Event")
-            if k == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = (si["Stage ID"], si["Stage Attempt ID"])
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                stages[sid] = {
-                    "stage": si["Stage ID"],
-                    "attempt": si["Stage Attempt ID"],
-                    "name": si.get("Stage Name", "")[:80],
-                    "tasks": si.get("Number of Tasks", 0),
-                    "wall_s": round((comp - sub) / 1e3, 3)
-                              if sub and comp else None,
-                    "failed": si.get("Failure Reason") is not None,
-                    # accumulated below from task ends
-                    "task_time_s": 0.0, "shuf_write_b": 0, "shuf_read_b": 0,
-                    "spill_mem_b": 0, "spill_disk_b": 0, "input_b": 0,
-                    "output_b": 0,
-                }
-            elif k == "SparkListenerTaskEnd":
-                sid = (ev["Stage ID"], ev["Stage Attempt ID"])
-                st = stages.get(sid)
-                m = ev.get("Task Metrics")
-                if not m:
-                    continue
-                if st is None:
-                    # task end seen before stage completion record: stash
-                    st = stages.setdefault(sid, {
-                        "stage": ev["Stage ID"], "attempt": ev["Stage Attempt ID"],
-                        "name": "?", "tasks": 0, "wall_s": None, "failed": False,
-                        "task_time_s": 0.0, "shuf_write_b": 0, "shuf_read_b": 0,
-                        "spill_mem_b": 0, "spill_disk_b": 0, "input_b": 0,
-                        "output_b": 0})
-                st["task_time_s"] += m.get("Executor Run Time", 0) / 1e3
-                sw = m.get("Shuffle Write Metrics") or {}
-                st["shuf_write_b"] += sw.get("Shuffle Bytes Written", 0)
-                sr = m.get("Shuffle Read Metrics") or {}
-                st["shuf_read_b"] += (sr.get("Local Bytes Read", 0)
-                                      + sr.get("Remote Bytes Read", 0))
-                st["spill_mem_b"] += m.get("Memory Bytes Spilled", 0)
-                st["spill_disk_b"] += m.get("Disk Bytes Spilled", 0)
-                st["input_b"] += (m.get("Input Metrics") or {}).get("Bytes Read", 0)
-                st["output_b"] += (m.get("Output Metrics") or {}).get("Bytes Written", 0)
-    return sorted(stages.values(), key=lambda s: -(s["wall_s"] or 0))
+    stages = []
+    for line in event_lines(path):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerStageCompleted":
+            stages.append(stage_record(ev["Stage Info"]))
+    return sorted(stages, key=lambda s: -(s["wall_s"] or 0))
 
 
 def main():
