@@ -24,7 +24,11 @@ set -u
 cd "$(git rev-parse --show-toplevel)" || exit 1
 REF="${1:-$(git log --grep='^round ' -n1 --format=%H)}"
 [ -z "$REF" ] && REF=HEAD~1
-CHANGED=$(git diff --name-only "$REF" -- 'src/main/scala/**' ; git diff --name-only --cached "$REF" -- 'src/main/scala/**')
+# build.sbt and project/ are diffed alongside src/main: a build-config
+# change (compiler flags, dependency pins) can shift EVERY query, so it
+# must land in the full-suite fallback, not in "nothing to bench"
+# (ADVICE r16: the old pathspec made the header's claim false).
+CHANGED=$(git diff --name-only "$REF" -- 'src/main/scala/**' build.sbt 'project/**' ; git diff --name-only --cached "$REF" -- 'src/main/scala/**' build.sbt 'project/**')
 CHANGED=$(echo "$CHANGED" | sort -u | grep -v '^$' || true)
 if [ -z "$CHANGED" ]; then
   echo "no main-source changes vs $REF — nothing to bench"
@@ -32,7 +36,7 @@ if [ -z "$CHANGED" ]; then
 fi
 echo "changed vs ${REF:0:10}:"; echo "$CHANGED" | sed 's/^/  /'
 
-GLOBAL_RE='(SparkEntry|GraftSession|Verify|Bench|CacheScope)\.scala$'
+GLOBAL_RE='(SparkEntry|GraftSession|Verify|Bench|CacheScope)\.scala$|^build\.sbt$|^project/'
 if echo "$CHANGED" | grep -qE "$GLOBAL_RE"; then
   echo "global-surface file changed -> FULL suite"
   QUERIES=""
