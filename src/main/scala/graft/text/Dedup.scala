@@ -43,7 +43,7 @@ object Dedup {
     * the verify stage's dominant CPU after the joins (pair budget ×
     * corpus size evaluations at 100 TB vs one sort per document
     * here). Input is the HASHED posting frame of [[hashedPostings]]. */
-  private def docHashSets(hp: DataFrame): DataFrame =
+  private[graft] def docHashSets(hp: DataFrame): DataFrame =
     hp.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("n"))
@@ -64,7 +64,7 @@ object Dedup {
     * downstream verify — inflate one pair's n_common/jaccard or admit
     * one spurious pair. All three are bounded by the same n²/2⁶⁴ term
     * (~10⁻⁷ at a billion postings), deterministically. */
-  private def hashedPostings(sh: DataFrame): DataFrame =
+  private[graft] def hashedPostings(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
 
   /** Verify-side broadcast budget: the hash-set frame broadcasts when
@@ -91,18 +91,35 @@ object Dedup {
     * n_common the 64-bit-exact |set(da) ∩ set(db)| and na/nb the exact
     * set sizes — dispatched ADAPTIVELY on the hash-set frame's size.
     *
-    * BELOW the broadcast budget the per-doc frame broadcasts and both
-    * verify joins are map-only hash joins, so the wide (da, db, set)
-    * intermediate is never sorted or shuffled. Measured (round 12,
-    * PairStageProbe): at 1M docs the sort-merge form's external sort
-    * writes ~36 GB of spill and pins the verify stage at the box's
-    * write bandwidth — 137 s vs 85 s broadcast; at 500k docs 19 s vs
-    * 10 s; outputs hash-identical. The size estimate is a fenced driver
-    * scalar (one aggregate over the persisted per-doc frame — counts,
-    * never row data), the same dispatch pattern as [[jaccardPairs]]'
-    * pair-mass budget.
+    * BELOW the broadcast budget (64-bit estimate) the per-doc frame
+    * broadcasts and both verify joins are map-only hash joins, so the
+    * wide (da, db, set) intermediate is never sorted or shuffled.
+    * Measured (round 12, PairStageProbe): at 1M docs the sort-merge
+    * form's external sort writes ~36 GB of spill and pins the verify
+    * stage at the box's write bandwidth — 137 s vs 85 s broadcast; at
+    * 500k docs 19 s vs 10 s; outputs hash-identical. The size estimate
+    * is a fenced driver scalar (one aggregate over the persisted
+    * per-doc frame — counts, never row data), the same dispatch
+    * pattern as [[jaccardPairs]]' pair-mass budget.
     *
-    * ABOVE the budget the frame routes through the bucketed sink
+    * IN THE OCTAVE where the 64-bit frame exceeds the budget but its
+    * 32-bit truncation fits (round 17 — at sf50x/2.5M docs the 64-bit
+    * build estimates ~2.7 GB against the 1.5 GB default fence, which
+    * round 16 could only run by raising the fence), the verify runs
+    * TWO-PHASE ON BROADCASTS: phase 1 broadcasts only the 32-bit
+    * truncated sets (~half the build) and screens candidates with the
+    * overcount-or-equal merge-count; phase 2 semi-joins the 64-bit
+    * frame down to the docs appearing in surviving pairs — survivors
+    * are the true pairs plus the collision sliver, so this frame is a
+    * small fraction of the corpus — and confirms with map-only
+    * broadcast joins when THAT fits the budget (its size is
+    * re-estimated, never assumed; a pathological corpus where most
+    * docs survive falls back to a shuffled-hash confirm join, still
+    * sort-free and ceiling-free). Both phases stay map-only in the
+    * expected case: the broadcast dispatch's reach doubles with no new
+    * shuffle on the wide candidate side.
+    *
+    * ABOVE both budgets the frame routes through the bucketed sink
     * ([[graft.sources.Bucketing.stageBucketed]]) and the verify runs
     * TWO-PHASE (round 16):
     *
@@ -137,20 +154,59 @@ object Dedup {
     * c (true stays true as c grows) that is exactly the caller's final
     * score filter — callers re-apply it on the exact n_common, so the
     * screen only prunes, never decides. */
-  private def verifiedCommon(hp: DataFrame, cands: DataFrame,
+  private[graft] def verifiedCommon(hp: DataFrame, cands: DataFrame,
       screen: (Column, Column, Column) => Column): DataFrame = {
     graft.functions.SetExpressions.register(hp.sparkSession)
     val hs = graft.CacheScope.persist(docHashSets(hp))
     val r = hs.agg(count(lit(1)).as("rows"),
       coalesce(sum(col("n")), lit(0L)).as("postings")).head()
-    val est = r.getLong(0) * 48L + r.getLong(1) * 8L
-    if (est <= broadcastVerifyBytes(hp)) {
+    val fence = broadcastVerifyBytes(hp)
+    val est64 = r.getLong(0) * 48L + r.getLong(1) * 8L
+    val est32 = r.getLong(0) * 48L + r.getLong(1) * 4L
+    if (est64 <= fence) {
       val b = broadcast(hs)
       cands
         .join(b.select(col("doc_id").as("da"), col("hs").as("ha"),
           col("n").as("na")), Seq("da"))
         .join(b.select(col("doc_id").as("db"), col("hs").as("hb"),
           col("n").as("nb")), Seq("db"))
+        .withColumn("n_common", expr("intersect_count_i64(ha, hb)"))
+        .select(col("da"), col("db"), col("na"), col("nb"), col("n_common"))
+    } else if (est32 <= fence) {
+      // two-phase ON BROADCASTS (round 17): screen against the 32-bit
+      // half-size broadcast, confirm against the 64-bit sets of
+      // SURVIVOR docs only. Survivors persist because both the
+      // doc-restriction semi-join and the confirm joins consume them;
+      // the frame holds ids and counts, never arrays.
+      val b32 = broadcast(hs.select(col("doc_id"),
+        expr("transform(hs, x -> cast(shiftright(x, 32) as int))").as("hs32"),
+        col("n")))
+      val screened = graft.CacheScope.persist(cands
+        .join(b32.select(col("doc_id").as("da"), col("hs32").as("ha32"),
+          col("n").as("na")), Seq("da"))
+        .join(b32.select(col("doc_id").as("db"), col("hs32").as("hb32"),
+          col("n").as("nb")), Seq("db"))
+        .withColumn("c32", expr("intersect_count_i32(ha32, hb32)"))
+        .filter(screen(col("c32"), col("na"), col("nb")))
+        .select(col("da"), col("db"), col("na"), col("nb")))
+      val svDocs = screened.select(col("da").as("doc_id"))
+        .union(screened.select(col("db").as("doc_id"))).distinct()
+      // survivor-doc ids are 8 B each, bounded by the corpus doc count
+      // — always broadcastable; the semi-join is map-only over hs
+      val hsSurv = graft.CacheScope.persist(
+        hs.join(broadcast(svDocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("hs")))
+      val r2 = hsSurv.agg(count(lit(1)).as("rows"),
+        coalesce(sum(size(col("hs")).cast("long")), lit(0L))
+          .as("postings")).head()
+      val estSurv = r2.getLong(0) * 48L + r2.getLong(1) * 8L
+      val confirm =
+        if (estSurv <= fence) broadcast(hsSurv) else hsSurv.hint("shuffle_hash")
+      screened
+        .join(confirm.select(col("doc_id").as("da"), col("hs").as("ha")),
+          Seq("da"))
+        .join(confirm.select(col("doc_id").as("db"), col("hs").as("hb")),
+          Seq("db"))
         .withColumn("n_common", expr("intersect_count_i64(ha, hb)"))
         .select(col("da"), col("db"), col("na"), col("nb"), col("n_common"))
     } else {
@@ -595,20 +651,32 @@ object Dedup {
     * RECALL is bounded, and `q_dedup_containment_recall` gates it
     * against the guaranteed-complete prefix-filtered twin (measured
     * 1.0 at sf0.001/0.01/0.1, caps 10/10/11; floor 0.95). */
-  def containmentPairsCapped(sh0: DataFrame, threshold: Double,
-      dfQuantile: Double = 0.99, minCap: Long = 10L,
-      pairBudgetPerDoc: Long = 128L, withSizes: Boolean = false): DataFrame = {
+  /** The capped candidate dataflow shared by [[containmentPairsCapped]]
+    * and the stage-attribution probe (LegBench pairstage): returns
+    * (hp, dfreq, cap, cands) so the probe times the PRODUCTION stages
+    * instead of an inlined copy that can drift (the r15
+    * docHashSetsProbe lesson).
+    *
+    * hp: HASHED postings, shuffled by h exactly ONCE — the cached
+    * repartition's HashPartitioning satisfies the df groupBy and BOTH
+    * sides of the candidate self-join (InMemoryRelation preserves the
+    * cached plan's partitioning), so the corpus-sized frame crosses
+    * the network once as 16 B rows instead of three times as ~50 B
+    * string rows — at 2.5M docs the difference between in-flight
+    * shuffle files that exceed local disk and ones that fit with
+    * margin (PERF.md round 15). df/candidates on h equal df/candidates
+    * on s up to the 64-bit collision bound [[hashedPostings]] states;
+    * the string shingles are never cached or shuffled at all.
+    *
+    * cap: the MINIMUM of the recall knob (df quantile) and the cost
+    * knob (largest df with cumulative pair mass ≤ budget × n_docs),
+    * both computed EXACTLY from the df histogram — the only global
+    * windows order that histogram (≤ max(df) rows), never the corpus;
+    * the one-row result broadcasts into the candidate filter. */
+  private[graft] def cappedCandidateStages(sh0: DataFrame,
+      dfQuantile: Double, minCap: Long, pairBudgetPerDoc: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
-    // HASHED postings, shuffled by h exactly ONCE: the cached
-    // repartition's HashPartitioning satisfies the df groupBy and BOTH
-    // sides of the candidate self-join (InMemoryRelation preserves the
-    // cached plan's partitioning), so the corpus-sized frame crosses
-    // the network once as 16 B rows instead of three times as ~50 B
-    // string rows — at 2.5M docs the difference between in-flight
-    // shuffle files that exceed local disk and ones that fit with
-    // margin (PERF.md round 15). df/candidates on h equal df/candidates
-    // on s up to the 64-bit collision bound [[hashedPostings]] states;
-    // the string shingles are never cached or shuffled at all.
     val hp = graft.CacheScope.persist(
       hashedPostings(sh0).repartition(col("h")))
     val dfreq = graft.CacheScope.persist(
@@ -636,6 +704,14 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    (hp, dfreq, cap, cands)
+  }
+
+  def containmentPairsCapped(sh0: DataFrame, threshold: Double,
+      dfQuantile: Double = 0.99, minCap: Long = 10L,
+      pairBudgetPerDoc: Long = 128L, withSizes: Boolean = false): DataFrame = {
+    val (hp, _, _, cands) =
+      cappedCandidateStages(sh0, dfQuantile, minCap, pairBudgetPerDoc)
     verifiedCommon(hp, cands, containmentGate(threshold))
       .withColumn("containment", col("n_common").cast("double") /
         least(col("na"), col("nb")))
