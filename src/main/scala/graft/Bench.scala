@@ -50,7 +50,7 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       spark.catalog.clearCache()
-      System.gc() // see PairLegBench scaladoc: frees shuffle files via ContextCleaner
+      System.gc() // see LegBench scaladoc: frees shuffle files via ContextCleaner
     }
     // name -> (per-rep seconds for successful reps, first error if any)
     val runs: Seq[(String, Seq[Double], Option[String])] = {
@@ -66,7 +66,7 @@ object Bench {
           // drop caches so one query's persisted lineage can't subsidize
           // the next query's timing
           spark.catalog.clearCache()
-          System.gc() // see PairLegBench scaladoc: frees shuffle files via ContextCleaner
+          System.gc() // see LegBench scaladoc: frees shuffle files via ContextCleaner
           (name, dt, err)
         }
       }

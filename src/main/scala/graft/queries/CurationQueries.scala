@@ -176,7 +176,7 @@ object CurationQueries {
     * regression on 64-bucket hashed unigram PRESENCE + 4 cheap scalar
     * metric features against the Gopher gate as teacher, then one
     * linear score per document. Hyper-parameters were probed, not
-    * guessed (DistillProbe): tf-weighted bags alone stay at the 0.904
+    * guessed (LegBench distill): tf-weighted bags alone stay at the 0.904
     * majority base rate at ANY learning rate; presence + metrics at
     * (iters 20, lr 16) measures 0.952 accuracy at sf0.01. The oracle
     * unrolls the identical trajectory — md5 buckets, DECIMAL per-term

@@ -95,7 +95,7 @@ object Kmeans {
     // result), so carrying full lineage duplicates the super-fit
     // subtree exponentially — the JOB is fine but the driver burns
     // minutes in generateTreeString on the blown-up tree (measured:
-    // SemLegBench sf10x_de hung >5 min single-core in plan
+    // LegBench sem at sf10x_de hung >5 min single-core in plan
     // stringification). Checkpointing the k-row frames cuts every
     // branch at a LocalTableScan-sized stub; the checkpoint RDDs are
     // reclaimed by the ContextCleaner (same pattern as

@@ -63,7 +63,7 @@ object Bucketing {
     // cwd-relative (resolved absolute): the close scripts run benches
     // from cloned camps — an absolute repo path would silently stage
     // outside them (the same hazard r15's ADVICE flagged for
-    // PairVerifyDiag's event-log dir)
+    // the diag main's event-log dir)
     val path = new java.io.File(s"target/stage/bucketed/$id").getAbsolutePath
     df.repartition(buckets, keys.map(col): _*)
       .write.mode("overwrite")

@@ -493,7 +493,7 @@ object Dedup {
     * mode on vocabulary-saturating corpora, where the exact filter's
     * posting mass grows quadratically (measured: the sf100x leg
     * exceeds single-box spill disk uncapped). Recall under the cap is
-    * a measured quantity (PairLegBench reports it against the exact
+    * a measured quantity (LegBench pair reports it against the exact
     * twin), not a silent loss.
     */
   def prefixJaccardPairs(sh0: DataFrame, threshold: Double,
