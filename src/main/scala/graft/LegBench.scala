@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.LegBench [family] [dirs...]` where family is
   * one of `query` (default — the first arg is treated as a dir when it
   * is not a family name, so historical invocations still work), `pair`,
-  * `cc`, `inc`, `pmi`, `sem`, `pairstage`, `distill`.
+  * `cc`, `inc`, `pmi`, `sem`, `pairstage`, `distill`, `flagship`.
   *
   * Shared protocol (PERF.md rounds 9–16): cells interleave WITHIN each
   * rep (rep-major, cell inner) so a lo-vs-hi or A-vs-B comparison
@@ -85,7 +85,8 @@ import org.apache.spark.sql.functions._
 object LegBench {
 
   private val families =
-    Set("query", "pair", "cc", "inc", "pmi", "sem", "pairstage", "distill")
+    Set("query", "pair", "cc", "inc", "pmi", "sem", "pairstage", "distill",
+      "flagship")
 
   def main(args: Array[String]): Unit = {
     val (family, rest) = args.headOption match {
@@ -101,6 +102,7 @@ object LegBench {
       case "sem"       => runSem(rest)
       case "pairstage" => runPairStage(rest)
       case "distill"   => runDistill(rest)
+      case "flagship"  => runFlagship(rest)
     }
   }
 
@@ -151,7 +153,17 @@ object LegBench {
 
   // ---------------------------------------------------------------- query
 
-  /** Registered-query A/B over directories (the original LegBench). */
+  /** Registered-query A/B over directories (the original LegBench).
+    *
+    * Warm-up (round-18 verdict #4): a small subset run pays the
+    * whole-stage-codegen JIT + classloading cost inside its first
+    * timed rep — `BENCH_REMEASURE_r17.json` measured subset medians
+    * 2–5× the same boot's full-surface medians for untouched code, so
+    * subset mode had to disclaim its own numbers. One UNTIMED pass
+    * over every cell before the timed reps restores comparability
+    * (the full-surface Bench amortizes the same cost over 204 queries
+    * and is unaffected). `SPARK_GRAFT_WARMUP=0` disables, restoring
+    * the historical cold protocol. */
   private def runQuery(dirs0: Seq[String]): Unit = {
     val dirs = if (dirs0.nonEmpty) dirs0
                else Seq("target/sf1x", "target/sf10x_docs")
@@ -159,11 +171,19 @@ object LegBench {
       sys.error("set SPARK_GRAFT_ONLY to a comma list of query names"))
       .split(",").toSeq
     val reps = envReps(5)
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = GraftSession.local(GraftSession.envCpus)
     val cells = for (d <- dirs; q <- queries) yield Cell(d, q, () =>
       CacheScope.scoped { SparkEntry.queries(q)(spark, d).count() })
+    if (warm) for (c <- cells) {
+      val t0 = System.nanoTime()
+      val n = c.run()
+      println(f"""{"leg_warmup":true,"family":"query","dir":"${c.dir}","leg":"${c.leg}","rows":$n,"secs":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val times = runCells(spark, "query", reps, cells)
-    mediansLine("leg_medians", reps, times)
+    mediansLine("leg_medians", reps, times, extra = s""""warmup":$warm,""")
     spark.stop()
   }
 
@@ -234,6 +254,10 @@ object LegBench {
     }
     val times = runCells(spark, "pair", reps, cells,
       extraRepFields = s""","budget":$budget""")
+    // the fence pins are cell-scoped A/B state: without this unset the
+    // recall run below (and anything after the rep loop) would execute
+    // under whichever fence happened to run last — order-dependent
+    spark.conf.unset(text.Dedup.VerifyBroadcastBytesKey)
 
     val recall = recallDir.map { dir =>
       CacheScope.scoped {
@@ -538,6 +562,64 @@ object LegBench {
       }
       spark.conf.unset(text.Dedup.VerifyBroadcastBytesKey)
     }
+    spark.stop()
+  }
+
+  // ------------------------------------------------------------- flagship
+
+  /** Stage-wise attribution of the flagship curation composition
+    * (round-18 verdict #3: the decade exponent steepened 0.499 →
+    * 0.92/decade between the 50k→500k and 1M→2.5M spans, and the
+    * steepening needs a stage name). Runs the PRODUCTION
+    * `Flagship.curationPipeline` — the same object the registered
+    * `q_flagship_curation` runs, on the shipped adaptive dispatch —
+    * with a materializing [[graft.text.Pipelines.StageProbe]]: each
+    * composition seam is persisted + counted, and a delta clock
+    * charges everything since the previous seam (driver-side segments
+    * like `Distill.trainGate`'s GD rounds included) to the seam's
+    * stage name. The terminal packing count is recorded as `s10_pack`
+    * and the rep's stage sum as `total`. Attribution-mode caveat: each
+    * seam is materialized (production leaves s1/s2/s5 pipelined into
+    * their consumers), so per-stage walls attribute the composition's
+    * cost; `total` runs slightly above the query family's unprobed
+    * end-to-end and the comparison against it is the mode's honesty
+    * check. */
+  private def runFlagship(dirs0: Seq[String]): Unit = {
+    val dirs = if (dirs0.nonEmpty) dirs0
+               else Seq("target/sf20x_de", "target/sf50x_de")
+    val reps = envReps(3)
+    val spark = GraftSession.local(GraftSession.envCpus)
+    val times = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), Vector[Double]].withDefaultValue(Vector.empty)
+    for (rep <- 1 to reps; d <- dirs) {
+      CacheScope.scoped {
+        val repEpoch0 = System.currentTimeMillis()
+        var lastNs = System.nanoTime()
+        var lastEpoch = repEpoch0
+        var repTotal = 0.0
+        def record(name: String, rows: Long): Unit = {
+          val secs = (System.nanoTime() - lastNs) / 1e9
+          val nowEpoch = System.currentTimeMillis()
+          times((d, name)) = times((d, name)) :+ secs
+          repTotal += secs
+          println(f"""{"leg_rep":$rep,"family":"flagship","dir":"$d","leg":"$name","rows":$rows,"secs":$secs%.3f,"t0_ms":$lastEpoch,"t1_ms":$nowEpoch}""")
+          lastNs = System.nanoTime()
+          lastEpoch = System.currentTimeMillis()
+        }
+        val probe: graft.text.Pipelines.StageProbe = (name, df) => {
+          val p = CacheScope.persist(df)
+          record(name, p.count())
+          p
+        }
+        val out = Flagship.curationPipeline(spark, d, probe = probe)
+        record("s10_pack", out.count())
+        times((d, "total")) = times((d, "total")) :+ repTotal
+        println(f"""{"leg_rep":$rep,"family":"flagship","dir":"$d","leg":"total","rows":0,"secs":$repTotal%.3f,"t0_ms":$repEpoch0,"t1_ms":${System.currentTimeMillis()}}""")
+      }
+      spark.catalog.clearCache()
+      System.gc() // shuffle-file hygiene — see the object scaladoc
+    }
+    mediansLine("flagship_stage_medians", reps, times)
     spark.stop()
   }
 

@@ -47,8 +47,12 @@ def rep_windows(stdout_log):
         rep = d.get("leg_rep", d.get("pair_leg_rep"))
         leg = d.get("leg") or d.get("query") or d.get("mode") \
             or d.get("form") or d.get("family", "?")
+        # the sem family's rep line carries per-component *_secs fields
+        # and no total "secs" — derive the wall from the epoch bounds so
+        # "any LegBench family" in the docstring is actually true
+        secs = d.get("secs", (d["t1_ms"] - d["t0_ms"]) / 1000.0)
         reps.append({"rep": rep, "dir": d["dir"], "leg": leg,
-                     "secs": d["secs"], "t0_ms": d["t0_ms"],
+                     "secs": secs, "t0_ms": d["t0_ms"],
                      "t1_ms": d["t1_ms"]})
     return reps
 

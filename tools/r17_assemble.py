@@ -109,6 +109,11 @@ def main():
     # single-phase-64-bit leg died in Spark's broadcast build on rep 1
     # after the default / two-phase leg completed 437.0 s); the 100 g
     # retry is the controlled A/B.
+    # NOTE: the numeric fields below are ONE-TIME TRANSCRIPTIONS from
+    # target/r17f_ab100x.log as read during round 17 — they are NOT
+    # parsed from logs, so rerunning this assembler after new
+    # measurements re-emits the round-17 readings verbatim. Treat this
+    # block as the archival record of that run, not a live reading.
     out["sf100x_64g_attempt"] = {
         "docs": 5000000, "heap": "64g",
         "default_leg_rep1_s": 437.043, "default_leg_rows": 257191,
