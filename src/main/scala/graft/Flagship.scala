@@ -194,10 +194,17 @@ object Flagship {
     * an RDD-scan stub at construction). Not fully free at construction
     * even when lazy: the SemDeDup dispatch and trainGate's bounded GD
     * rounds read driver scalars while the frame is being BUILT — lazy
-    * seams remove the checkpoint jobs, which dominate. */
+    * seams remove the checkpoint jobs, which dominate.
+    *
+    * `probe`: stage-seam attribution hook, identity by default (see
+    * [[graft.text.Pipelines.StageProbe]]) — `LegBench flagship` passes
+    * a materializing probe to read per-stage walls off the production
+    * composition. */
   def curationPipeline(spark: SparkSession, dir: String,
       forceTwoLevel: Boolean = false,
-      lazyCheckpoints: Boolean = false): DataFrame = {
+      lazyCheckpoints: Boolean = false,
+      probe: graft.text.Pipelines.StageProbe =
+        graft.text.Pipelines.noProbe): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // localCheckpoint, not persist, at the two composition seams: the
     // downstream stages re-reference these frames along MANY branches
@@ -208,18 +215,20 @@ object Flagship {
     // The checkpoint truncates each branch at an RDD-scan stub (the
     // same fix as assignTwoLevel's, and the dataflow twin of the
     // reference's stage-out-and-re-read lineage cut, `PUSH:227-229`).
-    val clean = graft.text.Pipelines.lexicalClean(docs, capped = true)
-      .localCheckpoint(eager = !lazyCheckpoints)
+    val clean = probe("s6_checkpoint_clean",
+      graft.text.Pipelines.lexicalClean(docs, capped = true, probe)
+        .localCheckpoint(eager = !lazyCheckpoints))
     // stage 5: semantic near-dup drop on the survivors' embeddings
     val emb = Tables.load(spark, dir, "embeddings")
     val embSurv = emb.join(clean.select(col("doc_id").as("vec_id")),
       Seq("vec_id"), "left_semi")
     val (fb, wb) = if (forceTwoLevel) (0L, 0.0) else (64L, 4e8)
-    val semDrop = graft.similarity.SemDedup
+    val semDrop = probe("s7_semdedup_drops", graft.similarity.SemDedup
       .semDedup(embSurv, k = 8, iters = 2, tau = 0.35, fb, wb)
-      .filter(!col("keep")).select(col("vec_id").as("doc_id"))
-    val corpus = clean.join(semDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(eager = !lazyCheckpoints)
+      .filter(!col("keep")).select(col("vec_id").as("doc_id")))
+    val corpus = probe("s8_checkpoint_corpus",
+      clean.join(semDrop, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = !lazyCheckpoints))
     // stage 6: distilled gate — train on the teacher-labeled sample,
     // score the survivors (the probed hyperparameters: 20 rounds, lr 16)
     val w = graft.text.Distill.trainGate(
@@ -229,7 +238,11 @@ object Flagship {
       dim = 64, iters = 20, lr = 16.0)
     val keepIds = graft.text.Distill.scoreGate(corpus, w, dim = 64)
       .filter(col("predicted") === 1L).select(col("doc_id"))
-    val gated = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+    // s9's probe delta also carries trainGate's driver-side GD rounds
+    // (everything since the s8 seam) — deliberate: the distilled gate's
+    // cost IS train + score, and the two never recur separately
+    val gated = probe("s9_distill_gate",
+      corpus.join(keepIds, Seq("doc_id"), "left_semi"))
     graft.text.Curation.packSequencesScalable(gated, seqLen = 128)
   }
 }

@@ -35,10 +35,13 @@ import org.apache.spark.sql.functions._
   *    fixed low-id query/centroid rows keep their copy-0 originals, so
   *    kNN queries scan a 10× corpus — the scale-up shape that matters.
   *
-  * Usage: `runMain graft.GenScale [srcDir] [outDir] [copies] [tables]`
-  * — `tables` is an optional comma list restricting which tables are
-  * written (the second, 100× decade only needs `documents`; writing
-  * a 100× lineitem for a text-pair benchmark would be wasted disk).
+  * Usage: `runMain graft.GenScale [srcDir] [outDir] [copies] [tables]
+  * [widen]` — `tables` is an optional comma list restricting which
+  * tables are written (the second, 100× decade only needs `documents`;
+  * writing a 100× lineitem for a text-pair benchmark would be wasted
+  * disk); `widen` (default 1) applies [[widenText]] to documents for
+  * the high-postings fixtures the round-18 auto-dispatch adjudication
+  * needs.
   */
 object GenScale {
 
@@ -72,6 +75,30 @@ object GenScale {
       t -> CASE WHEN pmod(xxhash64(t, $i), 2) = 0 THEN t
                 ELSE concat('v$i', t) END), ' ')""")
 
+  /** High-POSTINGS widening (round-18 verdict #2): the document's text
+    * becomes the concatenation of `w` variants of itself, variant
+    * v ≥ 1 prefixing EVERY token with `w{v}x`. Variant shingle spaces
+    * are therefore pairwise disjoint and each variant map is an
+    * injective per-token renaming, so per document the distinct-shingle
+    * count scales exactly ×w (plus 2(w−1) boundary trigrams where
+    * variants abut), and for any document pair both the shingle
+    * intersection and both set sizes scale ×w — every containment /
+    * Jaccard ratio is preserved up to the boundary sliver. The corpus
+    * keeps its pair structure while postings-per-doc — the term that
+    * dominates the verify dispatch's size estimate (est32 = rows·48 +
+    * postings·4 B) — grows w-fold, which is what lets est32 cross the
+    * DEFAULT 1.5 GB fence at a doc count whose bucketed transient still
+    * fits this box (the auto bucketed handoff was otherwise reachable
+    * only fence-pinned). Applied AFTER [[rewriteText]], so cross-copy
+    * decorrelation is untouched. */
+  def widenText(w: Int): org.apache.spark.sql.Column =
+    if (w <= 1) col("text")
+    else concat_ws(" ", (0 until w).map { v =>
+      if (v == 0) col("text")
+      else expr(s"""array_join(transform(split(text, '\\\\s+'),
+        t -> concat('w${v}x', t)), ' ')""")
+    }: _*)
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/sf1x")
@@ -80,6 +107,7 @@ object GenScale {
       case Some(list) => list.split(",").map(_.trim).toSet
       case None => _ => true
     }
+    val widen = args.lift(4).map(_.toInt).getOrElse(1)
     val spark = GraftSession.local(GraftSession.envCpus)
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def save(t: String)(df: => DataFrame): Unit =
@@ -122,6 +150,7 @@ object GenScale {
       scaled(docs, copies) { (df, i) =>
         df.withColumn("doc_id", col("doc_id") + lit(i * kDoc))
           .withColumn("text", rewriteText(i))
+          .withColumn("text", widenText(widen))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
     }
