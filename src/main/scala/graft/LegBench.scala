@@ -551,10 +551,23 @@ object LegBench {
       def verify(): Long =
         text.Dedup.verifiedCommon(hp, cands, gate)
           .filter(gate(col("n_common"), col("na"), col("nb"))).count()
-      val dispatches = Seq(
+      val allDispatches = Seq(
         "verify_bucketed_shj" -> "0",
         "verify_broadcast32_twophase" -> ((est32 + est64) / 2).toString,
         "verify_broadcast64" -> (est64 + 1L).max(2L * est64).toString)
+      // SPARK_GRAFT_PAIRSTAGE_DISPATCHES: comma list of bucketed|b32|b64
+      // — on a corpus whose est64 exceeds what the heap can broadcast
+      // (sf100x killed the 64-bit build at 64 g) the infeasible leg is
+      // skipped EXPLICITLY instead of crashing the probe mid-run
+      val wantD = sys.env.get("SPARK_GRAFT_PAIRSTAGE_DISPATCHES")
+        .map(_.split(",").map(_.trim).toSet)
+      val dispatches = allDispatches.filter { case (name, _) =>
+        wantD.forall(w => w.exists(tag => name.contains(tag match {
+          case "b32" => "broadcast32"
+          case "b64" => "broadcast64"
+          case other => other
+        })))
+      }
       for ((name, fence) <- dispatches) {
         spark.conf.set(text.Dedup.VerifyBroadcastBytesKey, fence)
         val n = t(name) { verify() }

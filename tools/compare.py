@@ -65,3 +65,11 @@ for name in sorted(os.listdir(out_dir)):
 ok = sum(1 for v in results.values() if v == "OK")
 for k, v in results.items(): print(f"{'PASS' if v=='OK' else 'INFO' if v.startswith('ROWS_ONLY') else 'FAIL':<5} {k}: {v}")
 print(f"\n{ok}/{len([k for k in results if not results[k].startswith('ROWS_ONLY')])} oracle-checked queries OK")
+
+# optional 3rd arg: write the per-query result map as a JSON artifact
+# (the sf0.1 one-time sweep commits CORRECTNESS_sf0.1_r{N}.json this way)
+if len(sys.argv) > 3:
+    checked = [k for k in results if not results[k].startswith("ROWS_ONLY")]
+    json.dump({"sf_dir": sf_dir, "n_checked": len(checked),
+               "n_ok": ok, "results": results},
+              open(sys.argv[3], "w"), indent=1)
