@@ -86,7 +86,7 @@ leg)
   ;;
 
 close)
-  N=$1; PRE=${2:?close needs the previous round's close commit}
+  N=$1; PRE=${2:?close needs the previous rounds close commit}
   NEWC=/root/repo/target/r${N}close
   OLDC=/root/repo/target/r${N}preclose
   log "clone HEAD -> $NEWC ; clone $PRE -> $OLDC"
