@@ -59,7 +59,7 @@ import org.apache.spark.sql.functions._
   *  - pmi: `SPARK_GRAFT_PMI_TOPV` (default 4096),
   *    `SPARK_GRAFT_PMI_MAXDF` (fraction in (0,1], `none`/`off`/empty
   *    = unbanded; default 0.5).
-  *  - pairstage: args are `<family> <dir> [budget]` — times each
+  *  - pairstage: args are `<family> <dir> [budget] [minCap]` — times each
   *    stage of `Dedup.cappedCandidateStages` separately, then the
   *    verify under all THREE dispatches (broadcast-64, two-phase
   *    broadcast-32, bucketed) by pinning the fence around the
@@ -204,6 +204,14 @@ object LegBench {
                else Seq("target/sf10x_docs", "target/sf100x_docs")
     val reps = envReps(5)
     val budget = sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET", "16").toLong
+    // SPARK_GRAFT_PAIR_MINCAP: the df-cap FLOOR (production default 10).
+    // On a fixed-vocabulary widened corpus the floor, not the budget,
+    // decides the cap (cap = max(minCap, min(qcap, mcap))), and floor-10
+    // candidates x the widened array width exceed single-box disk — the
+    // round-18 auto-dispatch A/B runs floor 4 (candidate mass sized from
+    // the df histogram; the dispatch decision est32-vs-fence reads the
+    // HASH-SET frame and is independent of the candidate cap)
+    val minCap = sys.env.getOrElse("SPARK_GRAFT_PAIR_MINCAP", "10").toLong
     val recallDir = sys.env.get("SPARK_GRAFT_PAIR_RECALL")
     val spark = GraftSession.local(GraftSession.envCpus)
 
@@ -212,7 +220,8 @@ object LegBench {
       "containment_capped" -> { dir: String =>
         CacheScope.scoped {
           text.Dedup.containmentPairsCapped(text.Dedup.shingles(docs(dir)),
-            threshold = 0.5, pairBudgetPerDoc = budget).count()
+            threshold = 0.5, minCap = minCap,
+            pairBudgetPerDoc = budget).count()
         }
       },
       "prefix_capped" -> { dir: String =>
@@ -519,6 +528,7 @@ object LegBench {
   private def runPairStage(args: Seq[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf10x_docs")
     val budget = args.lift(1).map(_.toLong).getOrElse(16L)
+    val minCap = args.lift(2).map(_.toLong).getOrElse(10L)
     val threshold = 0.5
     val spark = GraftSession.local(GraftSession.envCpus)
     def t[A](name: String)(f: => A): A = {
@@ -530,7 +540,7 @@ object LegBench {
     CacheScope.scoped {
       val docs = sources.Tables.load(spark, dir, "documents")
       val (hp, dfreq, cap, cands0) = text.Dedup.cappedCandidateStages(
-        text.Dedup.shingles(docs), dfQuantile = 0.99, minCap = 10L,
+        text.Dedup.shingles(docs), dfQuantile = 0.99, minCap = minCap,
         pairBudgetPerDoc = budget)
       t("hashed_postings_persist") { hp.count() }
       t("dfreq") { dfreq.count() }
