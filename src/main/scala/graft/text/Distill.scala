@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: features are (doc, bucket) rows — one explode + one
   * groupBy, the same volume as hashingTf — cached hash-partitioned by
   * doc_id with the label folded in; each GD iteration is then one
-  * map-only broadcast join (weights are ≤ dim+5 rows), a shuffle-free
-  * per-doc sum + residual off the cached partitioning, and ONE
-  * ≤ dim+5-key gradient reduce — corpus-linear, no all-pairs, no
-  * driver-side data loops (the loop is over the FIXED iteration
+  * map-only literal-map weight lookup (weights are ≤ dim+5 entries
+  * riding the plan as one literal, no per-round broadcast build), a
+  * shuffle-free per-doc sum + residual off the cached partitioning,
+  * and ONE ≤ dim+5-key gradient reduce — corpus-linear, no all-pairs,
+  * no driver-side data loops (the loop is over the FIXED iteration
   * count; the gradient collect is ≤ dim+5 aggregate rows).
   *
   * Train and score are SEPARATE entry points ([[trainGate]] /
@@ -77,46 +78,66 @@ object Distill {
   /** The label rides every feature row (ONE corpus join at build time
     * instead of one per GD round), and the frame is hash-partitioned
     * by doc_id ONCE before caching: the per-round score aggregation
-    * and the gradient join both key on doc_id, and the broadcast
-    * weight join is map-only and partitioning-preserving, so each
-    * round's whole dataflow reuses the cached partitioning — the only
-    * per-round shuffle left is the ≤ dim+5-key gradient reduce. (The
-    * round-12 shape re-shuffled feats by doc_id twice per round plus
-    * re-counted the corpus inside every gradient job: 18.0 s at
-    * sf0.1, 7.1% of the whole bench, all job floor.) */
+    * and the gradient join both key on doc_id, so each round's whole
+    * dataflow reuses the cached partitioning — the only per-round
+    * shuffle left is the ≤ dim+5-key gradient reduce. (The round-12
+    * shape re-shuffled feats by doc_id twice per round plus re-counted
+    * the corpus inside every gradient job: 18.0 s at sf0.1, 7.1% of
+    * the whole bench, all job floor.)
+    *
+    * Partition count is SIZE-ADAPTIVE (r18, guide §2.2/§2.4): the GD
+    * loop launches 2 passes over this cache per round × `iters`
+    * rounds, so its partition count is a per-round task-floor
+    * multiplier — at bench scale the session default (one partition
+    * per core) put 64 near-empty tasks in every round's critical path
+    * (measured 0.48 → 0.22 s/round at sf0.1 after sizing, r18 plans/).
+    * ~50k docs per partition ≈ 1.5M feature rows ≈ 50 MB, inside the
+    * guide's 100 MB–1 GB band for a cached working set this hot; the
+    * session shuffle-partition knob stays the ceiling so a cluster
+    * deployment (which overrides it to 2-3× its core total) keeps its
+    * parallelism. Partitioning cannot perturb results: every per-row
+    * term is rounded to 8 dp and summed as DECIMAL(20,8), so the
+    * reduction is order-exact (object scaladoc). */
   private def labeledFeatures(docs: DataFrame, label: Column,
-      dim: Int): DataFrame =
+      dim: Int, ndocs: Long): DataFrame = {
+    val ceilParts =
+      docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(ceilParts.toLong,
+      (ndocs + 49999L) / 50000L)).toInt
     graft.CacheScope.persist(
       rawFeatures(docs, dim)
         .join(docs.select(col("doc_id"), label.cast("long").as("y")),
           "doc_id")
-        .repartition(col("doc_id")))
-
-  private val wSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("b",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("w",
-      org.apache.spark.sql.types.DoubleType)))
-
-  // LocalRelation, not parallelize: broadcast of a local frame happens
-  // driver-side with zero Spark jobs, where the RDD form paid a
-  // one-task collect job per broadcast
-  private def wDf(spark: SparkSession, m: Map[Int, Double]): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      m.toSeq.sortBy(_._1).map { case (b, v) =>
-        org.apache.spark.sql.Row(b, v) }.asJava, wSchema)
+        .repartition(parts, col("doc_id")))
   }
 
   private val sigmoid = round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
 
+  /** The weight vector as a MAP LITERAL column, `w(b) = element_at(m, b)`
+    * — replacing the per-round broadcast-joined local frame (r18). The
+    * join form paid a broadcast build plus a BroadcastHashJoin stage in
+    * EVERY GD round's plan; the ≤ dim+5-entry map rides the plan as one
+    * literal reference, so a round is now a map-only projection over the
+    * cached feature partitioning (0.48 → 0.39 s/round at sf0.1 from this
+    * change alone, r18 plans/). Value-identical: every feature bucket
+    * trained on is a key of `m` (trainGate seeds the weight map from the
+    * frame's own distinct buckets), and at scoring time an unigram
+    * bucket the sample never produced hits no key → element_at yields
+    * NULL → the per-term product is NULL → sum() skips it, exactly as
+    * the old inner join dropped that row; every doc still appears
+    * because the bias bucket (-1) is always trained. */
+  private def wCol(m: Map[Int, Double]): Column = {
+    require(m.nonEmpty, "weight map must be non-empty")
+    element_at(typedLit(m), col("b"))
+  }
+
   /** scores AND residual input in one aggregation pass over a LABELED
     * feature frame: y is constant per doc, so max() re-emits it
     * without a second join against the label frame. */
-  private def scored(feats: DataFrame, w: DataFrame): DataFrame =
-    feats.join(broadcast(w), "b")
+  private def scored(feats: DataFrame, w: Map[Int, Double]): DataFrame =
+    feats
       .select(col("doc_id"), col("y"),
-        round(col("x") * col("w"), 8).cast("decimal(20,8)").as("t"))
+        round(col("x") * wCol(w), 8).cast("decimal(20,8)").as("t"))
       .groupBy(col("doc_id"))
       .agg(sum(col("t")).cast("double").as("s"), max(col("y")).as("y"))
 
@@ -128,14 +149,13 @@ object Distill {
     * aggregates, never row data). */
   private def gdTrain(feats: DataFrame, ndocs: Double, iters: Int,
       lr: Double): Map[Int, Double] = {
-    val spark = feats.sparkSession
     def round8(v: Double): Double =
       BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     var wMap: Map[Int, Double] =
       feats.select(col("b")).distinct().collect()
         .map(r => r.getInt(0) -> 0.0).toMap
     for (_ <- 1 to iters) {
-      val resid = scored(feats, wDf(spark, wMap))
+      val resid = scored(feats, wMap)
         .select(col("doc_id"), (sigmoid - col("y")).as("r"))
       // shuffle-hash, not sort-merge: both sides are already
       // hash(doc_id)-partitioned (feats from the cache, resid from its
@@ -162,7 +182,8 @@ object Distill {
   def trainGate(docs: DataFrame, label: Column, dim: Int = 64,
       iters: Int = 3, lr: Double = 1.0): Map[Int, Double] = {
     require(dim > 0 && iters > 0 && lr > 0, "trainGate needs dim, iters, lr > 0")
-    gdTrain(labeledFeatures(docs, label, dim), docs.count().toDouble,
+    val ndocs = docs.count()
+    gdTrain(labeledFeatures(docs, label, dim, ndocs), ndocs.toDouble,
       iters, lr)
   }
 
@@ -174,9 +195,8 @@ object Distill {
   def scoreGate(docs: DataFrame, w: Map[Int, Double],
       dim: Int = 64): DataFrame =
     rawFeatures(docs, dim)
-      .join(broadcast(wDf(docs.sparkSession, w)), "b")
       .select(col("doc_id"),
-        round(col("x") * col("w"), 8).cast("decimal(20,8)").as("t"))
+        round(col("x") * wCol(w), 8).cast("decimal(20,8)").as("t"))
       .groupBy(col("doc_id"))
       .agg(sum(col("t")).cast("double").as("s"))
       .select(col("doc_id"), sigmoid.as("score"),
@@ -189,12 +209,13 @@ object Distill {
   def distillGate(docs: DataFrame, label: Column, dim: Int = 64,
       iters: Int = 3, lr: Double = 1.0): DataFrame = {
     require(dim > 0 && iters > 0 && lr > 0, "distillGate needs dim, iters, lr > 0")
-    val feats = labeledFeatures(docs, label, dim)
     // corpus size as a fenced driver scalar, computed ONCE — the
     // crossJoin(broadcast(one-row-agg)) form re-counted the corpus
     // inside every round's gradient job
-    val wMap = gdTrain(feats, docs.count().toDouble, iters, lr)
-    scored(feats, wDf(docs.sparkSession, wMap))
+    val ndocs = docs.count()
+    val feats = labeledFeatures(docs, label, dim, ndocs)
+    val wMap = gdTrain(feats, ndocs.toDouble, iters, lr)
+    scored(feats, wMap)
       .select(col("doc_id"), col("y").as("label"), sigmoid.as("score"),
         when(sigmoid >= 0.5, 1L).otherwise(0L).as("predicted"))
       .withColumn("correct",

@@ -83,10 +83,27 @@ object TextAnalysis {
         stopHits(t, enStops).cast("long") / tc)
   }
 
-  def topTokenFrac(toks: Column): Column =
-    array_max(transform(array_distinct(toks),
-      d => size(filter(toks, x => x === d)))).cast("long") /
-      size(toks).cast("long")
+  /** Implementation: max run length over the SORTED token array — one
+    * O(n log n) sort + one O(n) aggregate pass per row, replacing the
+    * r12 `transform(array_distinct, d -> size(filter(toks, = d)))` form
+    * whose work is O(distinct × len) per row (measured 320 µs/doc at
+    * sf0.1 — 1.6 s of the 4.3 s gopher-gate pass; the sorted form is
+    * 3×, r18 plans/). Equal tokens are contiguous after array_sort, so
+    * the longest run IS the max frequency — value-identical (asserted
+    * row-for-row vs the old form in Round18OptSpec and by the unchanged
+    * oracle hashes). Precondition (unchanged): token arrays contain no
+    * null elements — `split` never produces one. */
+  def topTokenFrac(toks: Column): Column = {
+    val run = (acc: Column, x: Column) =>
+      when(x <=> acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+    val best = aggregate(array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => struct(x.as("prev"), run(acc, x).as("run"),
+        greatest(acc.getField("best"), run(acc, x)).as("best")),
+      acc => acc.getField("best"))
+    best.cast("long") / size(toks).cast("long")
+  }
 
   /** Quality-gate metrics + verdict, Gopher-flavored: length bounds,
     * mean-word-length bounds, repetition caps, and a stopword-presence
