@@ -63,6 +63,18 @@ object GraftSession {
       // one-file-per-bucket before claiming order, so multi-file
       // bucketed tables (e.g. coLocatedOrderJoin's) keep their sorts.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // r18: Spark 4.1 turned on checksum sidecar files for streaming
+      // checkpoints (corruption detection on long-lived state). Every
+      // state-store delta close then AWAITS a checksum-file future; with
+      // one state store per shuffle partition × 4 stores per
+      // stream-stream join, the micro-batch's tasks sat blocked ~5.5 s
+      // wall at ~50 ms CPU in ChecksumCancellableFSDataOutputStream
+      // .close (thread-dump witness, r18 plans/). The engine's
+      // checkpoints are per-invocation scratch (fresh dir every run), so
+      // integrity re-verification buys nothing here; deployments with
+      // durable checkpoints can re-enable via SPARK_GRAFT_CKPT_CHECKSUM.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session sized to `cpus` threads — the mains' form.

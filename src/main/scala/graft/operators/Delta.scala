@@ -49,25 +49,62 @@ object Delta {
         srcMinusTgt == 0L && tgtMinusSrc == 0L
   }
 
+  /** Both set differences and both row counts from ONE key shuffle
+    * (r18, guide §1.2/§2.4): tag each side, aggregate per distinct
+    * common-column row with a per-side row count, then reduce. A row
+    * group with src presence and no tgt presence is exactly one
+    * EXCEPT-DISTINCT row (set ops group NULLs like groupBy does, so
+    * the null semantics match `except`), and the per-side row-count
+    * sums are the unprojected counts (projection never changes
+    * cardinality). The previous form ran FOUR jobs — two counts plus
+    * one aggregate-and-shuffle per MINUS direction — reading each
+    * input three times. */
+  private def diffStats(s: DataFrame, t: DataFrame,
+      common: Seq[String]): (Long, Long, Long, Long) = {
+    val tagged = s.select(common.map(col) :+ lit(0).as("__side"): _*)
+      .unionByName(t.select(common.map(col) :+ lit(1).as("__side"): _*))
+    val r = tagged
+      .groupBy(common.map(col): _*)
+      .agg(count(when(col("__side") === 0, 1)).as("__ns"),
+        count(when(col("__side") === 1, 1)).as("__nt"))
+      .agg(coalesce(sum(col("__ns")), lit(0L)),
+        coalesce(sum(col("__nt")), lit(0L)),
+        count(when(col("__ns") > 0 && col("__nt") === 0, 1)),
+        count(when(col("__nt") > 0 && col("__ns") === 0, 1)))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
   def reconcile(src: DataFrame, tgt: DataFrame): ReconcileReport = {
     val common = src.columns.intersect(tgt.columns).toSeq
-    val s = src.select(common.map(col): _*)
-    val t = tgt.select(common.map(col): _*)
-    ReconcileReport(
-      srcCount = src.count(), tgtCount = tgt.count(),
-      missingCols = src.columns.diff(tgt.columns).toSeq,
-      extraCols = tgt.columns.diff(src.columns).toSeq,
-      srcMinusTgt = s.except(t).count(),
-      tgtMinusSrc = t.except(s).count())
+    if (common.isEmpty)
+      // degenerate disjoint-schema case: keep the legacy per-action form
+      // (zero-column set ops have no meaningful single-pass grouping)
+      ReconcileReport(
+        srcCount = src.count(), tgtCount = tgt.count(),
+        missingCols = src.columns.diff(tgt.columns).toSeq,
+        extraCols = tgt.columns.diff(src.columns).toSeq,
+        srcMinusTgt = src.select(common.map(col): _*)
+          .except(tgt.select(common.map(col): _*)).count(),
+        tgtMinusSrc = tgt.select(common.map(col): _*)
+          .except(src.select(common.map(col): _*)).count())
+    else {
+      val (ns, nt, smt, tms) = diffStats(src, tgt, common)
+      ReconcileReport(
+        srcCount = ns, tgtCount = nt,
+        missingCols = src.columns.diff(tgt.columns).toSeq,
+        extraCols = tgt.columns.diff(src.columns).toSeq,
+        srcMinusTgt = smt, tgtMinusSrc = tms)
+    }
   }
 
   /** U2 as a DataFrame (for oracle-checked fixtures): one row per
-    * direction with the MINUS cardinality (`PUSH:422-440`). */
+    * direction with the MINUS cardinality (`PUSH:422-440`). Same
+    * one-shuffle dataflow as [[reconcile]]. */
   def symmetricMinusCounts(src: DataFrame, tgt: DataFrame): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
-    val a = src.except(tgt).count()
-    val b = tgt.except(src).count()
+    val (_, _, a, b) = diffStats(src, tgt, src.columns.toSeq)
     Seq(("src_minus_tgt", a), ("tgt_minus_src", b))
       .toDF("direction", "n").orderBy("direction")
   }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * documents — near-duplicate cluster centers that many documents
   * resemble — a useful canonical-pick signal alongside quality scores.
   *
-  * Dataflow per iteration: contributions = ranks ⨝ out-degrees (both
-  * keyed on the node, one shuffle), then a sum per destination (second
-  * shuffle) — linear in edges, the textbook distributed PageRank.
+  * Dataflow per iteration: contributions = ranks ⨝ degree-annotated
+  * edges (degree is folded onto each edge row once, at build), then a
+  * sum per destination — linear in edges, the textbook distributed
+  * PageRank.
   * Contributions pass through DECIMAL(24,12) so the per-destination sum
   * is partial-agg-order-exact and an oracle can unroll the same
   * iterations bit-for-bit. Dangling nodes (no out-edges) contribute no
@@ -33,15 +34,18 @@ object Graph {
     // counted once up front) — without it each round re-runs the
     // distinct shuffle over the node source
     val n = graft.CacheScope.persist(nodes.select(col("node")).distinct())
-    val e = graft.CacheScope.persist(edges.select(col("src"), col("dst")))
-    val deg = graft.CacheScope.persist(
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val e = edges.select(col("src"), col("dst"))
+    // degree rides each edge row, joined ONCE at build (r18): the
+    // iteration body then needs a single rank⋈edge join per round
+    // instead of rank⋈degree⋈edge — one join and one pass over the
+    // edge frame fewer per round, identical per-edge arithmetic.
+    val edeg = graft.CacheScope.persist(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
     val nCount = n.count().toDouble
     var ranks = n.withColumn("rank", lit(1.0 / nCount))
     for (_ <- 1 to iters) {
       val contrib = ranks
-        .join(deg, ranks("node") === deg("src"))
-        .join(e, "src")
+        .join(edeg, ranks("node") === edeg("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("deg") * damping)
             .cast("decimal(24,12)").as("c"))

@@ -79,6 +79,32 @@ class Round18OptSpec extends SparkSuite {
     }
   }
 
+  test("reconcile one-shuffle rewrite matches EXCEPT-DISTINCT semantics (dupes + nulls)") {
+    import spark.implicits._
+    import graft.operators.Delta
+    // duplicates, null keys, and rows unique to each side
+    val src = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (4L, "d")).toDF("k", "v")
+    val tgt = Seq((1L, "a"), (3L, null.asInstanceOf[String]), (5L, "e"),
+      (5L, "e")).toDF("k", "v")
+    val r = Delta.reconcile(src, tgt)
+    assert(r.srcCount === 5L)
+    assert(r.tgtCount === 4L)
+    // EXCEPT DISTINCT: {(1,a),(2,b),(3,null),(4,d)} minus {(1,a),(3,null),(5,e)}
+    assert(r.srcMinusTgt === 2L) // (2,b),(4,d)
+    assert(r.tgtMinusSrc === 1L) // (5,e)
+    assert(r.missingCols.isEmpty && r.extraCols.isEmpty && !r.ok)
+    // cross-check against Spark's own except()
+    assert(r.srcMinusTgt === src.except(tgt).count())
+    assert(r.tgtMinusSrc === tgt.except(src).count())
+    val m = Delta.symmetricMinusCounts(src, tgt).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m === Map("src_minus_tgt" -> 2L, "tgt_minus_src" -> 1L))
+    // equal-sides case reports ok
+    val same = Delta.reconcile(src, src)
+    assert(same.ok && same.srcMinusTgt === 0L && same.tgtMinusSrc === 0L)
+  }
+
   test("scoreGate emits every input doc once under the literal-map lookup") {
     val docs = sources.Tables.load(spark, sf, "documents")
     val gate = TextAnalysis.gopherMetrics(10, 1000, 2.0, 10.0, 0.2, 0.2).last
