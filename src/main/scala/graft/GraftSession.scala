@@ -63,6 +63,19 @@ object GraftSession {
       // one-file-per-bucket before claiming order, so multi-file
       // bucketed tables (e.g. coLocatedOrderJoin's) keep their sorts.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // r18: without the Hadoop native lib, the stock local FS FORKS a
+      // process per permissioned create (`chmod`) and per FileContext
+      // rename probe (`readlink`) — 24k forks in a three-query bench
+      // subset; streaming micro-batch tasks parked in
+      // ProcessImpl.forkAndExec at ~100 ms CPU per ~2 s wall (jstack
+      // witness, r18 plans/). The fork-free adapters do the identical
+      // chmod/link-status work in-JVM via NIO; HDFS/S3 deployments
+      // never route through the "file" scheme, so this is local-adapter
+      // plumbing, not a tuning knob. See graft.sources.FastLocalFs.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.FastLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.FastLocalFs")
       // r18: Spark 4.1 turned on checksum sidecar files for streaming
       // checkpoints (corruption detection on long-lived state). Every
       // state-store delta close then AWAITS a checksum-file future; with
