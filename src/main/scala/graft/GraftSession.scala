@@ -63,6 +63,7 @@ object GraftSession {
       // one-file-per-bucket before claiming order, so multi-file
       // bucketed tables (e.g. coLocatedOrderJoin's) keep their sorts.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // r18: without the Hadoop native lib, the stock local FS FORKS a
       // process per permissioned create (`chmod`) and per FileContext
       // rename probe (`readlink`) — 24k forks in a three-query bench

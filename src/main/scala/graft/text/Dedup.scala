@@ -1076,14 +1076,27 @@ object Dedup {
     * hamming filter runs before the cross-band distinct so only true
     * radius candidates reach the shuffle. */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = graft.CacheScope.persist(sh).select(col("doc_id"), col("simhash"),
-      explode(array(bandOffsets.map { o =>
-        val rot = shiftright(col("simhash"), o)
-          .bitwiseOR(shiftleft(col("simhash").bitwiseAND(lit((1L << o) - 1)),
-            60 - o))
-        struct(lit(o).as("band_idx"), (rot % 32768).as("band_val"))
-      }: _*)).as("b"))
+    // The BANDED frame is cached hash-partitioned on the full join key
+    // with a PINNED partition count (r18): the self-join below then
+    // reuses the cached partitioning on both sides — no exchange — and
+    // the per-candidate bit_count(xor) work (the stage's CPU, ~8·n²/2¹⁶
+    // candidate rows) keeps the session's full task parallelism. The
+    // pin (REPARTITION_BY_NUM) matters because this frame is tiny in
+    // BYTES while heavy in downstream CPU per row — exactly the shape
+    // size-based AQE coalescing under-parallelizes (the cached-plan
+    // re-optimization the session now enables would otherwise collapse
+    // it to one partition).
+    val parts = sh.sparkSession.sessionState.conf.numShufflePartitions
+    val banded = graft.CacheScope.persist(sh
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandOffsets.map { o =>
+          val rot = shiftright(col("simhash"), o)
+            .bitwiseOR(shiftleft(col("simhash").bitwiseAND(lit((1L << o) - 1)),
+              60 - o))
+          struct(lit(o).as("band_idx"), (rot % 32768).as("band_val"))
+        }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
+      .repartition(parts, col("band_idx"), col("band_val")))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
